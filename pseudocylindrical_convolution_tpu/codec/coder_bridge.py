@@ -1,0 +1,95 @@
+"""ctypes bridge to the native arithmetic coder (csrc/coder.cpp).
+
+The shared library is built on demand with g++ (no pip deps). API mirrors the
+reference `coder.coder` object (coder/python.cpp:63-73): start_encoder /
+encodes / end_encoder / start_decoder / decodes, with numpy int32 buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc",
+                    "coder.cpp")
+_LIB = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc",
+                    "libpcoder.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC])
+    lib = ctypes.CDLL(_LIB)
+    lib.pcoder_create.restype = ctypes.c_void_p
+    lib.pcoder_create.argtypes = [ctypes.c_char_p]
+    lib.pcoder_destroy.argtypes = [ctypes.c_void_p]
+    lib.pcoder_start_encoder.argtypes = [ctypes.c_void_p]
+    lib.pcoder_encodes.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.pcoder_end_encoder.restype = ctypes.c_long
+    lib.pcoder_end_encoder.argtypes = [ctypes.c_void_p]
+    lib.pcoder_start_decoder.argtypes = [ctypes.c_void_p]
+    lib.pcoder_decodes.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+def _i32ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class Coder:
+    """File-backed arithmetic coding session."""
+
+    def __init__(self, fname: str):
+        self._lib = _load()
+        self._h = self._lib.pcoder_create(fname.encode())
+        self.fname = fname
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.pcoder_destroy(self._h)
+            self._h = None
+
+    def start_encoder(self):
+        self._lib.pcoder_start_encoder(self._h)
+
+    def encodes(self, tables: np.ndarray, ncode: int, symbols: np.ndarray,
+                n: int):
+        """tables: (n, ncode+1) int32 CDF rows; symbols: (n,) int32."""
+        if n == 0:
+            return
+        tables = np.ascontiguousarray(tables, dtype=np.int32)
+        symbols = np.ascontiguousarray(symbols, dtype=np.int32)
+        assert tables.shape[0] >= n and tables.shape[1] == ncode + 1
+        self._lib.pcoder_encodes(self._h, _i32ptr(tables), ncode,
+                                 _i32ptr(symbols), n)
+
+    def end_encoder(self) -> int:
+        """Flush to file; returns the byte size."""
+        return int(self._lib.pcoder_end_encoder(self._h))
+
+    def start_decoder(self):
+        self._lib.pcoder_start_decoder(self._h)
+
+    def decodes(self, tables: np.ndarray, ncode: int, n: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros((0,), np.int32)
+        tables = np.ascontiguousarray(tables, dtype=np.int32)
+        assert tables.shape[0] >= n and tables.shape[1] == ncode + 1
+        out = np.zeros((n,), np.int32)
+        self._lib.pcoder_decodes(self._h, _i32ptr(tables), ncode, n,
+                                 _i32ptr(out))
+        return out

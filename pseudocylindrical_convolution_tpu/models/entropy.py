@@ -1,0 +1,124 @@
+"""Group-autoregressive GMM entropy model (dense causal form).
+
+Structural reference: model_zoo_v2.py:214-301 (EntropyConv /
+EntropyResidualBlock / EntropySubNet / EntropyNet). The causal structure is
+enforced by (a) the causal pseudo-pad (context_version=1) and (b) static v5/v6
+weight masks multiplied onto the conv weights (mask_constrain_cuda.cu:63-88)
+-- the reference mutates weights in place each step; multiplying at apply time
+is the functional equivalent.
+
+The same network evaluated densely produces, at every cell, exactly the
+output the sequential wavefront decoder sees at that cell's step -- this is
+the equivalence the reference relies on by loading one `ent.pt` into both
+the train-time and codec-time graphs (pseudo_codec.py:242).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pseudocylindrical_convolution_tpu.geometry import Geometry
+from pseudocylindrical_convolution_tpu.models.layers import conv2d, conv_init, prelu, prelu_init
+from pseudocylindrical_convolution_tpu.ops.context_reshape import context_reshape
+from pseudocylindrical_convolution_tpu.ops.fill import pseudo_fill
+from pseudocylindrical_convolution_tpu.ops.gmm import entropy_gmm_loss
+from pseudocylindrical_convolution_tpu.ops.masks import conv_mask
+from pseudocylindrical_convolution_tpu.ops.pad import pseudo_pad
+
+
+def _keys(key, n):
+    return list(jax.random.split(key, n))
+
+
+# ---------------- EntropyConv (model_zoo_v2.py:214-227) ----------------
+
+def entropy_conv_init(key, ngroup, cin, cout, act=True):
+    p = {"conv": conv_init(key, ngroup * cin, ngroup * cout, 5)}
+    if act:
+        p["act"] = prelu_init(ngroup * cout)
+    return p
+
+
+def entropy_conv_apply(p, x, geom: Geometry, ngroup, cin, cout, hidden,
+                       act=True):
+    mask = conv_mask(6 if hidden else 5, ngroup * cout, ngroup * cin, 5, ngroup)
+    tx = pseudo_pad(x, geom, 2, causal=True)
+    tx = conv2d(p["conv"], tx, mask=jnp.asarray(mask))
+    if act:
+        tx = prelu(p["act"], tx)
+    return pseudo_fill(tx, geom)
+
+
+# ---------------- EntropySubNet (:241-269) ----------------
+
+def entropy_subnet_init(key, ngroup, cpn=3, num_gaussian=3, net_type=1):
+    k = _keys(key, 12)
+    net = {"0": entropy_conv_init(k[0], ngroup, 1, cpn)}
+    for r in range(5):  # residual blocks 1..5
+        net[str(1 + r)] = {
+            "conv1": entropy_conv_init(k[1 + 2 * r], ngroup, cpn, cpn),
+            "conv2": entropy_conv_init(k[2 + 2 * r], ngroup, cpn, cpn)}
+    net["6"] = entropy_conv_init(k[11], ngroup, cpn, num_gaussian, act=False)
+    if net_type == 2:  # delta net: bias init 2 (model_zoo_v2.py:262)
+        net["6"]["conv"]["bias"] = jnp.full_like(net["6"]["conv"]["bias"], 2.0)
+    return {"net": net}
+
+
+def entropy_subnet_raw(p, x, geom: Geometry, ngroup, cpn=3, num_gaussian=3):
+    """Raw (pre-head-activation) subnet output: (N*npart, ngroup*ng, h, w)."""
+    n = p["net"]
+    y = entropy_conv_apply(n["0"], x, geom, ngroup, 1, cpn, hidden=False)
+    for r in range(1, 6):
+        t = entropy_conv_apply(n[str(r)]["conv1"], y, geom, ngroup, cpn, cpn,
+                               hidden=True)
+        t = entropy_conv_apply(n[str(r)]["conv2"], t, geom, ngroup, cpn, cpn,
+                               hidden=True)
+        y = y + t
+    return entropy_conv_apply(n["6"], y, geom, ngroup, cpn, num_gaussian,
+                              hidden=True, act=False)
+
+
+# ---------------- EntropyNet (:272-301) ----------------
+
+def entropy_net_init(key, ngroup, cpn=3, num_gaussian=3):
+    k = _keys(key, 3)
+    return {"weight_net": entropy_subnet_init(k[0], ngroup, cpn, num_gaussian, 0),
+            "mean_net": entropy_subnet_init(k[1], ngroup, cpn, num_gaussian, 1),
+            "delta_net": entropy_subnet_init(k[2], ngroup, cpn, num_gaussian, 2)}
+
+
+def entropy_net_raw(p, x, geom: Geometry, ngroup, cpn=3, num_gaussian=3):
+    """Raw GMM parameter maps for the codec path.
+
+    x: biased symbols (N*npart, ngroup, h, w). Returns dict of
+    (N*npart, ngroup*num_gaussian, h, w) raw weight/delta/mean maps.
+    """
+    x = pseudo_fill(x, geom)
+    return {
+        "weight": entropy_subnet_raw(p["weight_net"], x, geom, ngroup, cpn,
+                                     num_gaussian),
+        "delta": entropy_subnet_raw(p["delta_net"], x, geom, ngroup, cpn,
+                                    num_gaussian),
+        "mean": entropy_subnet_raw(p["mean_net"], x, geom, ngroup, cpn,
+                                   num_gaussian),
+    }
+
+
+def entropy_net_apply(p, x, geom: Geometry, ngroup, cpn=3, num_gaussian=3,
+                      drop=False):
+    """Train-time rate loss. Returns (loss_vec * mask, mask) flattened.
+
+    x: biased symbols (N*npart, ngroup, h, w).
+    """
+    nb, _, h, w = x.shape
+    mask = pseudo_fill(jnp.ones_like(x), geom).reshape(-1)
+    x = pseudo_fill(x, geom)
+    tx = jax.lax.stop_gradient(x) if drop else x
+    raw = entropy_net_raw(p, tx, geom, ngroup, cpn, num_gaussian)
+    weight = jax.nn.softmax(context_reshape(raw["weight"], ngroup), axis=1)
+    mean = context_reshape(raw["mean"], ngroup)
+    delta = jax.nn.relu(context_reshape(raw["delta"], ngroup)) + 1e-6
+    label = tx.reshape(-1, 1)
+    loss_vec = entropy_gmm_loss(weight, delta, mean, label)
+    return loss_vec * mask, mask
