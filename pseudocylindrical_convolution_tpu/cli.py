@@ -1,0 +1,180 @@
+"""Codec CLI with the reference's public surface (pseudo_codec.py:310-356).
+
+  python -m pseudocylindrical_convolution_tpu.cli --enc --img-list a.png \
+      --code-list a.bin --model-idx 0 [--ssim] [--gpu-id 0]
+  ... --dec --code-list a.bin --out-list a_dec.png
+  ... --test --code-list a.bin --img-list a.png
+
+Model registry (names/channels) matches pseudo_codec.py:18-23; checkpoints
+are our .pkl param trees named {prefix}.pkl under demo/{mse,ssim}, or the
+reference's split torch checkpoints {prefix}_{encoder,decoder,ent}.pt which
+are converted on the fly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+MODEL_SSIM_LIST = ["1_56", "2_56", "3_56", "4_56", "5_112", "6_112", "7_112",
+                   "8_192", "9_192"]
+SSIM_CHANNEL_LIST = [56, 56, 56, 56, 112, 112, 112, 192, 192]
+MODEL_MSE_LIST = ["1_56", "2_56", "3_56", "4_112", "5_112", "6_112", "7_112",
+                  "8_192", "9_192", "10_192"]
+MSE_CHANNEL_LIST = [56, 56, 56, 112, 112, 112, 112, 192, 192, 192]
+MSE_MODEL_DIR = "./demo/mse"
+SSIM_MODEL_DIR = "./demo/ssim"
+
+psnr_f = lambda x: 10 * math.log10(1.0 / x)  # noqa: E731
+
+
+def _model_spec(model_idx: int, mse: bool):
+    prefix = (MODEL_MSE_LIST if mse else MODEL_SSIM_LIST)[model_idx]
+    vd = (MSE_CHANNEL_LIST if mse else SSIM_CHANNEL_LIST)[model_idx]
+    mdir = MSE_MODEL_DIR if mse else SSIM_MODEL_DIR
+    return prefix, vd, mdir
+
+
+def load_codec_params(model_dir: str, prefix: str):
+    """Load {prefix}.pkl, or convert the reference's torch split files."""
+    from pseudocylindrical_convolution_tpu.utils.checkpoint import (
+        load_params, load_torch_state_dict, reference_to_params)
+    pkl = os.path.join(model_dir, f"{prefix}.pkl")
+    if os.path.exists(pkl):
+        return load_params(pkl)
+    enc_pt = os.path.join(model_dir, f"{prefix}_encoder.pt")
+    dec_pt = os.path.join(model_dir, f"{prefix}_decoder.pt")
+    ent_pt = os.path.join(model_dir, f"{prefix}_ent.pt")
+    sds = {}
+    for name, path in (("encoder", enc_pt), ("decoder", dec_pt),
+                       ("ent", ent_pt)):
+        sds[name] = (load_torch_state_dict(path)
+                     if os.path.exists(path) else None)
+    if not any(sds.values()):
+        raise FileNotFoundError(
+            f"no checkpoint {pkl} or {prefix}_*.pt under {model_dir}")
+    return reference_to_params(sds["encoder"], sds["decoder"], sds["ent"])
+
+
+def _setup(model_idx: int, mse: bool):
+    from pseudocylindrical_convolution_tpu.models.cmpnet import CMPNetConfig
+    prefix, vd, mdir = _model_spec(model_idx, mse)
+    cfg = CMPNetConfig(valid_dim=vd)
+    geom = cfg.geometry()
+    params = load_codec_params(mdir, prefix)
+    return cfg, geom, params
+
+
+def _read_image(path: str):
+    import cv2
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.shape[:2] != (512, 1024):
+        img = cv2.resize(img, (1024, 512), interpolation=cv2.INTER_CUBIC)
+    x = img.transpose(2, 0, 1).astype(np.float32) / 255.0
+    return x[None]
+
+
+def _write_image(path: str, data):
+    import cv2
+    img = (np.asarray(data)[0] * 255.0).transpose(1, 2, 0)
+    cv2.imwrite(path, img.astype(np.uint8))
+
+
+def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0):
+    import jax.numpy as jnp
+    from pseudocylindrical_convolution_tpu.codec.pipeline import encode_image
+    cfg, geom, params = _setup(model_idx, mse)
+    for fn, fo in zip(img_list, code_list):
+        x = jnp.asarray(_read_image(fn))
+        encode_image(params, x, cfg, geom, fo)
+        bpp = os.path.getsize(fo) * 8 / 1024.0 / 512.0
+        print(f"Encoding {fn}, bitrate: {bpp:.3f}bpp")
+
+
+def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
+    from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
+    cfg, geom, params = _setup(model_idx, mse)
+    for fc, fo in zip(code_list, out_list):
+        rec = decode_image(params, cfg, geom, fc)
+        _write_image(fo, rec)
+        print(f"Decoding {fc}, output to {fo}")
+
+
+def decoding_and_test(code_list, img_list, model_idx=0, mse=True,
+                      device_id=0):
+    import jax.numpy as jnp
+    from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
+    from pseudocylindrical_convolution_tpu.ops.projects import multi_project
+    from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
+    cfg, geom, params = _setup(model_idx, mse)
+    rt_l, pr_l, ss_l = [], [], []
+    for fc, fn in zip(code_list, img_list):
+        rec = decode_image(params, cfg, geom, fc)
+        x = jnp.asarray(_read_image(fn))
+        px = multi_project(x, 171, 256, 0.5)
+        py = multi_project(rec, 171, 256, 0.5)
+        mse_loss = float(jnp.mean((px - py) ** 2))
+        pr = psnr_f(mse_loss)
+        vssim = float(ssim_fn(px, py))
+        rt = os.path.getsize(fc) * 8 / 1024.0 / 512.0
+        rt_l.append(rt); pr_l.append(pr); ss_l.append(vssim)
+        print(f"Decoding {fc}, compare it to {fn} \n "
+              f"Bitrate:{rt:.3f}bpp, PSNR:{pr:.2f}dB, SSIM:{vssim:.4f}")
+    print("-" * 53 + "\nAverage Performance\n" + "-" * 53)
+    print(f"Bitrate:{np.mean(rt_l):.3f}bpp, PSNR:{np.mean(pr_l):.2f}dB, "
+          f"SSIM:{np.mean(ss_l):.4f}")
+
+
+def read_list(fname):
+    with open(fname) as f:
+        return [ln.rstrip("\n") for ln in f.readlines()]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Pseudocylindrical convolution 360 image compression (TPU)")
+    parser.add_argument("--img-list", nargs="*")
+    parser.add_argument("--code-list", nargs="*")
+    parser.add_argument("--out-list", nargs="*")
+    parser.add_argument("--img-file")
+    parser.add_argument("--code-file")
+    parser.add_argument("--out-file")
+    parser.add_argument("--model-idx", type=int, default=0)
+    parser.add_argument("--enc", action="store_true", default=False)
+    parser.add_argument("--dec", action="store_true", default=False)
+    parser.add_argument("--test", action="store_true", default=False)
+    parser.add_argument("--ssim", action="store_true", default=False)
+    parser.add_argument("--gpu-id", type=int, default=0,
+                        help="device index (TPU chip ordinal)")
+    args = parser.parse_args(argv)
+    midx = args.model_idx
+    if args.ssim:
+        assert 0 <= midx < 9, "(0-8) for VSSIM"
+    else:
+        assert 0 <= midx < 10, "(0-9) for VMSE"
+    assert args.enc or args.dec or args.test, \
+        "Set one of --enc / --dec / --test"
+    img = args.img_list if args.img_list is not None else (
+        read_list(args.img_file) if args.img_file else None)
+    code = args.code_list if args.code_list is not None else (
+        read_list(args.code_file) if args.code_file else None)
+    out = args.out_list if args.out_list is not None else (
+        read_list(args.out_file) if args.out_file else None)
+    if args.enc:
+        assert img and code and len(img) == len(code)
+        encoding(img, code, midx, not args.ssim, args.gpu_id)
+    elif args.dec:
+        assert code and out and len(code) == len(out)
+        decoding(code, out, midx, not args.ssim, args.gpu_id)
+    else:
+        assert code and img and len(code) == len(img)
+        decoding_and_test(code, img, midx, not args.ssim, args.gpu_id)
+
+
+if __name__ == "__main__":
+    main()

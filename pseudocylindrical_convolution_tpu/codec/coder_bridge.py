@@ -36,6 +36,8 @@ def _load():
     lib.pcoder_encodes.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.pcoder_encode_ranges.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
     lib.pcoder_end_encoder.restype = ctypes.c_long
     lib.pcoder_end_encoder.argtypes = [ctypes.c_void_p]
     lib.pcoder_start_decoder.argtypes = [ctypes.c_void_p]
@@ -76,6 +78,15 @@ class Coder:
         assert tables.shape[0] >= n and tables.shape[1] == ncode + 1
         self._lib.pcoder_encodes(self._h, _i32ptr(tables), ncode,
                                  _i32ptr(symbols), n)
+
+    def encode_ranges(self, ranges: np.ndarray):
+        """ranges: (n, 3) int32 rows (sym_low, sym_high, total)."""
+        n = ranges.shape[0]
+        if n == 0:
+            return
+        ranges = np.ascontiguousarray(ranges, dtype=np.int32)
+        assert ranges.shape[1] == 3
+        self._lib.pcoder_encode_ranges(self._h, _i32ptr(ranges), n)
 
     def end_encoder(self) -> int:
         """Flush to file; returns the byte size."""

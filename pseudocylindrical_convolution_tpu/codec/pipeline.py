@@ -68,15 +68,29 @@ def _encode_tables(params, x, cfg: CMPNetConfig, geom: Geometry):
     return syms, tables, hcode
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_ranges(params, x, cfg: CMPNetConfig, geom: Geometry):
+    """Image -> (n, 3) per-symbol (sym_low, sym_high, total) int32 rows.
+
+    Gathering the coder's per-symbol range on device shrinks the host
+    transfer to 3 ints/symbol (the AC state machine needs nothing else).
+    """
+    syms, tables, _ = _encode_tables(params, x, cfg, geom)
+    n = syms.shape[0]
+    rows = jnp.arange(n)
+    low = tables[rows, syms]
+    high = tables[rows, syms + 1]
+    total = tables[:, NSTEP]
+    return jnp.stack([low, high, total], axis=1)
+
+
 def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry,
                  fname: str) -> int:
     """Encode (1, 3, H, W) image to ``fname``; returns byte size."""
-    syms, tables, _ = _encode_tables(params, x, cfg, geom)
-    syms = np.asarray(syms)
-    tables = np.asarray(tables)
+    ranges = np.asarray(_encode_ranges(params, x, cfg, geom))
     coder = Coder(fname)
     coder.start_encoder()
-    coder.encodes(tables, NSTEP, syms, syms.shape[0])
+    coder.encode_ranges(ranges)
     return coder.end_encoder()
 
 

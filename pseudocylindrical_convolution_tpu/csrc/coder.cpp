@@ -198,6 +198,18 @@ void pcoder_encodes(void* h, const int32_t* tables, int ncode,
   }
 }
 
+// ranges: (n, 3) int32 rows (sym_low, sym_high, total) -- the minimal
+// per-symbol information the encoder state machine consumes; lets the device
+// pre-gather CDF rows so the host transfer is 3 ints/symbol instead of 9.
+void pcoder_encode_ranges(void* h, const int32_t* ranges, int n) {
+  auto* s = static_cast<Session*>(h);
+  for (int i = 0; i < n; ++i) {
+    const int32_t* r = ranges + static_cast<int64_t>(i) * 3;
+    const int32_t row[2] = {r[0], r[1]};
+    s->enc->write(row, 0, static_cast<uint32_t>(r[2]));
+  }
+}
+
 long pcoder_end_encoder(void* h) {
   auto* s = static_cast<Session*>(h);
   s->enc->finish();

@@ -34,7 +34,13 @@ def _keys(key, n):
 # ---------------- EntropyConv (model_zoo_v2.py:214-227) ----------------
 
 def entropy_conv_init(key, ngroup, cin, cout, act=True):
-    p = {"conv": conv_init(key, ngroup * cin, ngroup * cout, 5)}
+    # MaskConv2 uses kaiming_normal weights and zero bias
+    # (PCONV_operator/MaskConstrain.py:30-33)
+    fan_in = ngroup * cin * 25
+    w = jax.random.normal(key, (ngroup * cout, ngroup * cin, 5, 5),
+                          jnp.float32) * jnp.sqrt(2.0 / fan_in)
+    p = {"conv": {"weight": w,
+                  "bias": jnp.zeros((ngroup * cout,), jnp.float32)}}
     if act:
         p["act"] = prelu_init(ngroup * cout)
     return p
