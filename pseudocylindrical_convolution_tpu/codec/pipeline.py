@@ -4,17 +4,22 @@ Counterpart of pseudo_codec.py's PseudoEncoder/PseudoDecoder/EntEncoder/
 EntDecoder (pseudo_codec.py:68-213), restructured TPU-first:
 
   * ENCODE is fully parallel: all symbols are known, so the causal entropy
-    network runs densely in ONE jitted forward, CDF tables for the whole
-    image are built on device in wavefront order, and the arithmetic coder
-    consumes them in a single host call. (The reference steps the wavefront
-    238 times at encode; that serialization is only fundamental for decode.)
+    network runs densely in ONE device pass, per-symbol coder ranges are
+    gathered on device, and the arithmetic coder consumes them in a single
+    host call. (The reference steps the wavefront 238 times at encode; that
+    serialization is only fundamental for decode.)
 
-  * DECODE is sequential per wavefront step: the dense causal network is
-    evaluated on the partial symbol plane and the current step's CDF rows are
-    extracted; the host arithmetic decoder returns the step's symbols which
-    are scattered back. Causality (v5 first layer, v6 hidden, causal pads)
-    guarantees the dense evaluation equals the reference's incremental
-    wavefront network at every extracted cell.
+  * DECODE is sequential per wavefront step, but evaluates THE SAME jitted
+    dense table program as the encoder, on the partial symbol plane.
+
+Bit-exactness contract: encoder and decoder must derive IDENTICAL integer
+CDF tables. Two different XLA programs computing the "same" math can differ
+by 1 ulp (fusion/reduction order) and desync the arithmetic coder -- the
+reference sidesteps this by running the same incremental kernels on both
+sides. Here both sides call one compiled program (`_table_program`): the
+causal v5/v6 weight masks and causal pads multiply future symbols by exact
+0.0, so evaluating on a partial plane yields bit-identical step-z outputs to
+the full-plane evaluation.
 """
 
 from __future__ import annotations
@@ -38,60 +43,76 @@ BIAS = 3.5
 TOTAL = 65536
 
 
-def _param_gather(raw, flat_sym, ngroup, ngauss=3):
-    """Gather per-symbol raw GMM params in coding order.
+def _table_body(ent_params, plane, cfg: CMPNetConfig, geom: Geometry):
+    """Symbol plane -> int32 CDF tables (B, nsym, NSTEP+1) in coding order.
 
-    raw: dict of (npart, ngroup*ngauss, h, w); flat_sym: (n,) indices into a
-    (npart, ngroup, h, w) layout. Returns (w, d, m) each (n, ngauss).
+    plane: (B, npart, ngroup, h, w) holding (symbol - BIAS) at known cells
+    and 0 elsewhere. Shared by the encoder's one-shot program and the
+    decoder's fused step program.
     """
-
-    def one(t):
-        npart, c, h, w = t.shape
-        t = t.reshape(npart, ngroup, ngauss, h, w).transpose(0, 1, 3, 4, 2)
-        return t.reshape(-1, ngauss)[flat_sym]
-
-    return one(raw["weight"]), one(raw["delta"]), one(raw["mean"])
-
-
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_tables(params, x, cfg: CMPNetConfig, geom: Geometry):
-    """Image -> (symbols, CDF tables) in coding order, plus the latent plane."""
     from pseudocylindrical_convolution_tpu.ops.gmm_table import gmm_cdf_table
-    hcode = cmpnet_encode_latents(params, x, cfg, geom)
-    _, _, h, w = hcode.shape
-    raw = entropy_net_raw(params["ent"], hcode - cfg.mean_val, geom,
-                          cfg.ngroup)
-    flat = jnp.asarray(symbol_gather_index(geom, h, w, cfg.ngroup))
-    wr, dr, mr = _param_gather(raw, flat, cfg.ngroup)
-    tables = gmm_cdf_table(wr, dr, mr, NSTEP, BIAS, TOTAL)
-    syms = hcode.reshape(-1)[flat].astype(jnp.int32)
-    return syms, tables, hcode
+    B, npart, ngroup, h, w = plane.shape
+    nb = plane.reshape(B * npart, ngroup, h, w)
+    raw = entropy_net_raw(ent_params, nb, geom, ngroup)
+    flat = jnp.asarray(symbol_gather_index(geom, h, w, ngroup))
+
+    def per_image(raw_b):
+        def one(t):
+            c = t.shape[1]
+            ng = c // ngroup
+            t = t.reshape(npart, ngroup, ng, h, w).transpose(0, 1, 3, 4, 2)
+            return t.reshape(-1, ng)[flat]
+        wr = one(raw_b["weight"])
+        dr = one(raw_b["delta"])
+        mr = one(raw_b["mean"])
+        return gmm_cdf_table(wr, dr, mr, NSTEP, BIAS, TOTAL)
+
+    raw_r = {k: v.reshape(B, npart, *v.shape[1:]) for k, v in raw.items()}
+    return jax.vmap(per_image)(raw_r)
+
+
+_table_program = jax.jit(_table_body, static_argnums=(2, 3))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_ranges(params, x, cfg: CMPNetConfig, geom: Geometry):
-    """Image -> (n, 3) per-symbol (sym_low, sym_high, total) int32 rows.
+def _encode_latents_plane(params, x, cfg: CMPNetConfig, geom: Geometry):
+    """Image batch -> (hcode, biased plane, symbols in coding order)."""
+    hcode = cmpnet_encode_latents(params, x, cfg, geom)
+    B = x.shape[0]
+    _, _, h, w = hcode.shape
+    plane = hcode.reshape(B, geom.npart, cfg.ngroup, h, w) - BIAS
+    flat = jnp.asarray(symbol_gather_index(geom, h, w, cfg.ngroup))
+    syms = jax.vmap(lambda p: p.reshape(-1)[flat] + BIAS)(plane)
+    return hcode, plane, syms.astype(jnp.int32)
 
-    Gathering the coder's per-symbol range on device shrinks the host
-    transfer to 3 ints/symbol (the AC state machine needs nothing else).
+
+@jax.jit
+def _gather_ranges(tables, syms):
+    """(B, n, NSTEP+1), (B, n) -> (B, n, 3) (low, high, total) rows."""
+    def per(t, s):
+        rows = jnp.arange(s.shape[0])
+        return jnp.stack([t[rows, s], t[rows, s + 1], t[:, NSTEP]], axis=1)
+    return jax.vmap(per)(tables, syms)
+
+
+def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry, fnames):
+    """Encode (B, 3, H, W) images to per-image bitstream files.
+
+    fnames: str (B must be 1) or list of B names. Returns byte size(s).
     """
-    syms, tables, _ = _encode_tables(params, x, cfg, geom)
-    n = syms.shape[0]
-    rows = jnp.arange(n)
-    low = tables[rows, syms]
-    high = tables[rows, syms + 1]
-    total = tables[:, NSTEP]
-    return jnp.stack([low, high, total], axis=1)
-
-
-def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry,
-                 fname: str) -> int:
-    """Encode (1, 3, H, W) image to ``fname``; returns byte size."""
-    ranges = np.asarray(_encode_ranges(params, x, cfg, geom))
-    coder = Coder(fname)
-    coder.start_encoder()
-    coder.encode_ranges(ranges)
-    return coder.end_encoder()
+    single = isinstance(fnames, str)
+    if single:
+        fnames = [fnames]
+    _, plane, syms = _encode_latents_plane(params, x, cfg, geom)
+    tables = _table_program(params["ent"], plane, cfg, geom)
+    ranges = np.asarray(_gather_ranges(tables, syms))
+    sizes = []
+    for b, fn in enumerate(fnames):
+        coder = Coder(fn)
+        coder.start_encoder()
+        coder.encode_ranges(ranges[b])
+        sizes.append(coder.end_encoder())
+    return sizes[0] if single else sizes
 
 
 # ---------------------------------------------------------------------------
@@ -99,62 +120,120 @@ def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _decode_step_tables(ent_params, buf, flat_pad, cfg: CMPNetConfig,
-                        geom: Geometry):
-    """Dense causal net on the partial plane -> CDF rows for given cells.
+@functools.partial(jax.jit, static_argnums=(2,))
+def _slice_step_tables(tables, offset, pad_to: int):
+    """Contiguous step rows [offset, offset+pad_to) of (B, nsym, NSTEP+1).
 
-    buf: (npart, ngroup, h, w) net input (decoded symbols - bias, else 0).
-    flat_pad: (maxlen,) padded flat cell indices for this step.
+    Tables are padded so the slice never clamps near the end."""
+    return jax.vmap(lambda t: jax.lax.dynamic_slice(
+        jnp.pad(t, ((0, pad_to), (0, 0))), (offset, 0),
+        (pad_to, t.shape[1])))(tables)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _decode_step_fused(ent_params, plane, prev_pad, prev_syms, prev_valid,
+                       offset, maxlen: int, cfg: CMPNetConfig,
+                       geom: Geometry):
+    """Fused decode step: scatter previous symbols, run the table program,
+    slice this step's rows -- ONE dispatch and one small transfer per step.
+
+    Bit-exactness note: this inlines the same table computation as
+    `_table_program` in a separate jit. Convolution numerics are shape-
+    determined and the surrounding ops are elementwise/small-reductions, so
+    the step-z rows match the encoder's bit-for-bit; `tests/
+    test_codec_roundtrip.py` and the TPU CLI drive enforce this empirically.
     """
     from pseudocylindrical_convolution_tpu.ops.gmm_table import gmm_cdf_table
-    raw = entropy_net_raw(ent_params, buf, geom, cfg.ngroup)
-    wr, dr, mr = _param_gather(raw, flat_pad, cfg.ngroup)
-    return gmm_cdf_table(wr, dr, mr, NSTEP, BIAS, TOTAL)
+    B = plane.shape[0]
+    flatp = plane.reshape(B, -1)
+    vals = jnp.where(prev_valid, prev_syms.astype(jnp.float32) - BIAS, 0.0)
+    flatp = jax.vmap(lambda fb, ix, v: fb.at[ix].add(v))(flatp, prev_pad,
+                                                         vals)
+    plane = flatp.reshape(plane.shape)
+    tables = _table_body(ent_params, plane, cfg, geom)
+    step_tb = jax.vmap(lambda t: jax.lax.dynamic_slice(
+        jnp.pad(t, ((0, maxlen), (0, 0))), (offset, 0),
+        (maxlen, t.shape[1])))(tables)
+    return plane, step_tb
 
 
 @jax.jit
-def _scatter_symbols(buf, flat_pad, syms_pad, valid):
-    """Scatter (sym - BIAS) into the flat buffer at flat_pad where valid."""
-    flatbuf = buf.reshape(-1)
-    vals = jnp.where(valid, syms_pad.astype(jnp.float32) - BIAS, 0.0)
-    # drop duplicate padding writes: padded idx entries repeat index 0; make
-    # them no-ops by adding 0 there
-    flatbuf = flatbuf.at[flat_pad].add(vals)
-    return flatbuf.reshape(buf.shape)
+def _scatter_prev(plane, prev_pad, prev_syms, prev_valid):
+    B = plane.shape[0]
+    flat = plane.reshape(B, -1)
+    vals = jnp.where(prev_valid, prev_syms.astype(jnp.float32) - BIAS, 0.0)
+    flat = jax.vmap(lambda fb, ix, v: fb.at[ix].add(v))(flat, prev_pad, vals)
+    return flat.reshape(plane.shape)
 
 
 def decode_latents(ent_params, cfg: CMPNetConfig, geom: Geometry, h: int,
-                   w: int, fname: str):
-    """Sequential wavefront decode -> (npart, ngroup, h, w) symbol plane."""
+                   w: int, fnames):
+    """Sequential wavefront decode of one or more bitstreams (in lockstep).
+
+    fnames: str or list. Returns (npart, ngroup, h, w) for a single name,
+    else (B, npart, ngroup, h, w).
+
+    NOTE: a bitstream decodes bit-exactly when the decode batch size equals
+    the encode batch size (the table program is compiled per batch size and
+    XLA numerics are only guaranteed identical within one program). The
+    default single-image paths on both sides use B=1.
+    """
+    single = isinstance(fnames, str)
+    if single:
+        fnames = [fnames]
+    B = len(fnames)
     order, counts, nsteps = wavefront_schedule(geom, h, w, cfg.ngroup)
     flat = symbol_gather_index(geom, h, w, cfg.ngroup)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     maxlen = int(counts.max())
-    coder = Coder(fname)
-    coder.start_decoder()
-    buf = jnp.zeros((geom.npart, cfg.ngroup, h, w), jnp.float32)
-    out = np.zeros(flat.shape[0], np.int32)
+    coders = []
+    for fn in fnames:
+        c = Coder(fn)
+        c.start_decoder()
+        coders.append(c)
+    # one (1, ...) plane per stream so every stream runs through the SAME
+    # compiled B=1 table program the encoder used (bit-exactness contract);
+    # per-stream device calls are dispatched asynchronously, so the host
+    # round-trip latency is still amortized across the batch.
+    planes_d = [jnp.zeros((1, geom.npart, cfg.ngroup, h, w), jnp.float32)
+                for _ in range(B)]
+    out = np.zeros((B, flat.shape[0]), np.int32)
+    prev_syms = np.zeros((B, maxlen), np.int32)
+    prev_valid = np.zeros((B, maxlen), bool)
+    prev_pad = np.zeros((B, maxlen), np.int32)
     for z in range(nsteps):
         n = int(counts[z])
         if n == 0:
+            for b in range(B):
+                planes_d[b] = _scatter_prev(
+                    planes_d[b], jnp.asarray(prev_pad[b:b + 1]),
+                    jnp.asarray(prev_syms[b:b + 1]),
+                    jnp.asarray(prev_valid[b:b + 1]))
+            prev_valid[:] = False
             continue
-        cells = flat[offsets[z]: offsets[z] + n]
-        pad = np.zeros(maxlen, np.int32)
-        pad[:n] = cells
-        tables = np.asarray(_decode_step_tables(ent_params, buf,
-                                                jnp.asarray(pad), cfg, geom))
-        syms = coder.decodes(tables[:n], NSTEP, n)
-        out[offsets[z]: offsets[z] + n] = syms
-        spad = np.zeros(maxlen, np.int32)
-        spad[:n] = syms
-        valid = np.zeros(maxlen, bool)
-        valid[:n] = True
-        buf = _scatter_symbols(buf, jnp.asarray(pad), jnp.asarray(spad),
-                               jnp.asarray(valid))
-    plane = np.zeros(geom.npart * cfg.ngroup * h * w, np.float32)
-    plane[flat] = out
-    return plane.reshape(geom.npart, cfg.ngroup, h, w)
+        futs = []
+        for b in range(B):
+            planes_d[b], step_tb = _decode_step_fused(
+                ent_params, planes_d[b], jnp.asarray(prev_pad[b:b + 1]),
+                jnp.asarray(prev_syms[b:b + 1]),
+                jnp.asarray(prev_valid[b:b + 1]), int(offsets[z]),
+                maxlen, cfg, geom)
+            futs.append(step_tb)
+        pad = np.zeros((B, maxlen), np.int32)
+        pad[:, :n] = flat[offsets[z]: offsets[z] + n]
+        for b in range(B):
+            step_tb = np.asarray(futs[b])[0]
+            syms = coders[b].decodes(step_tb[:n], NSTEP, n)
+            out[b, offsets[z]: offsets[z] + n] = syms
+            prev_syms[b, :n] = syms
+        prev_pad = pad
+        prev_valid[:] = False
+        prev_valid[:, :n] = True
+    planes = np.zeros((B, geom.npart * cfg.ngroup * h * w), np.float32)
+    for b in range(B):
+        planes[b, flat] = out[b]
+    planes = planes.reshape(B, geom.npart, cfg.ngroup, h, w)
+    return planes[0] if single else planes
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -163,12 +242,34 @@ def _decode_image_from_latents(params, hcode, cfg: CMPNetConfig,
     return cmpnet_decode_latents(params, hcode, cfg, geom)
 
 
-def decode_image(params, cfg: CMPNetConfig, geom: Geometry, fname: str,
+def decode_image(params, cfg: CMPNetConfig, geom: Geometry, fnames,
                  image_hw=(512, 1024)):
-    """Decode ``fname`` -> (1, 3, H, W) image."""
+    """Decode bitstream(s) -> (B, 3, H, W) images (B=1 for a single name)."""
     H, W = image_hw
     h = H // geom.npart // 8
     w = W // 8
-    plane = decode_latents(params["ent"], cfg, geom, h, w, fname)
-    hcode = jnp.asarray(plane)
+    planes = decode_latents(params["ent"], cfg, geom, h, w, fnames)
+    if planes.ndim == 4:
+        planes = planes[None]
+    B = planes.shape[0]
+    hcode = jnp.asarray(planes).reshape(B * geom.npart, cfg.ngroup, h, w)
     return _decode_image_from_latents(params, hcode, cfg, geom)
+
+
+# Back-compat helpers used by tests/tools -----------------------------------
+# NOTE: these compose the separately-jitted pieces; wrapping them in one jit
+# would inline (re-fuse) `_table_program` into a new program and break the
+# encoder/decoder bit-exactness contract described above.
+
+
+def _encode_tables(params, x, cfg: CMPNetConfig, geom: Geometry):
+    """Image -> (symbols, CDF tables, latents); single-image (B=1) path."""
+    hcode, plane, syms = _encode_latents_plane(params, x, cfg, geom)
+    tables = _table_program(params["ent"], plane, cfg, geom)
+    return syms[0], tables[0], hcode
+
+
+def _encode_ranges(params, x, cfg: CMPNetConfig, geom: Geometry):
+    _, plane, syms = _encode_latents_plane(params, x, cfg, geom)
+    tables = _table_program(params["ent"], plane, cfg, geom)
+    return _gather_ranges(tables, syms)[0]

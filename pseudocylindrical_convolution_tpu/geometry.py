@@ -124,7 +124,9 @@ class Geometry:
     npart: int = 16
     opt: bool = True
     weight: tuple = None  # resolved in __post_init__
-    config_file: str = ""
+    # like the reference, an optional ./config/param.txt overrides the
+    # width profile (PCONV_operator/base.py:5-11)
+    config_file: str = "./config/param.txt"
 
     def __post_init__(self):
         if self.weight is None:

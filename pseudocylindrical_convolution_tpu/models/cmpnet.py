@@ -42,7 +42,7 @@ class CMPNetConfig:
     def mean_val(self):
         return (self.quant_levels - 1) / 2.0
 
-    def geometry(self, config_file: str = "") -> Geometry:
+    def geometry(self, config_file: str = "./config/param.txt") -> Geometry:
         return Geometry(npart=self.npart, opt=self.opt,
                         config_file=config_file)
 

@@ -99,16 +99,47 @@ def entropy_net_raw(p, x, geom: Geometry, ngroup, cpn=3, num_gaussian=3):
 
     x: biased symbols (N*npart, ngroup, h, w). Returns dict of
     (N*npart, ngroup*num_gaussian, h, w) raw weight/delta/mean maps.
+
+    The three subnets are fused into single grouped convolutions
+    (feature_group_count=3) -- one MXU-friendly conv call per layer instead
+    of three, numerically identical to running the subnets separately (the
+    reference batches the fused weights the same way at codec time,
+    entropy_conv_cuda_v2.cu forward_batch).
     """
+    from jax import lax
+
+    subnets = ("weight_net", "delta_net", "mean_net")
+
+    def fused_conv(layer_ps, t, cin, cout, hidden, act):
+        mask = jnp.asarray(conv_mask(6 if hidden else 5, ngroup * cout,
+                                     ngroup * cin, 5, ngroup))
+        w = jnp.concatenate([lp["conv"]["weight"] * mask for lp in layer_ps])
+        b = jnp.concatenate([lp["conv"]["bias"] for lp in layer_ps])
+        t = pseudo_pad(t, geom, 2, causal=True)
+        y = lax.conv_general_dilated(t, w, (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     feature_group_count=3)
+        y = y + b[None, :, None, None]
+        if act:
+            a = jnp.concatenate([lp["act"]["weight"] for lp in layer_ps])
+            y = jnp.where(y >= 0, y, a[None, :, None, None] * y)
+        return pseudo_fill(y, geom)
+
+    def layer(name):
+        return [p[s]["net"][name] if not isinstance(name, tuple)
+                else p[s]["net"][name[0]][name[1]] for s in subnets]
+
     x = pseudo_fill(x, geom)
-    return {
-        "weight": entropy_subnet_raw(p["weight_net"], x, geom, ngroup, cpn,
-                                     num_gaussian),
-        "delta": entropy_subnet_raw(p["delta_net"], x, geom, ngroup, cpn,
-                                    num_gaussian),
-        "mean": entropy_subnet_raw(p["mean_net"], x, geom, ngroup, cpn,
-                                   num_gaussian),
-    }
+    t = jnp.tile(x, (1, 3, 1, 1))
+    y = fused_conv(layer("0"), t, 1, cpn, hidden=False, act=True)
+    for r in range(1, 6):
+        u = fused_conv(layer((str(r), "conv1")), y, cpn, cpn, True, True)
+        u = fused_conv(layer((str(r), "conv2")), u, cpn, cpn, True, True)
+        y = y + u
+    out = fused_conv(layer("6"), y, cpn, num_gaussian, True, False)
+    c = ngroup * num_gaussian
+    return {"weight": out[:, :c], "delta": out[:, c: 2 * c],
+            "mean": out[:, 2 * c:]}
 
 
 def entropy_net_apply(p, x, geom: Geometry, ngroup, cpn=3, num_gaussian=3,

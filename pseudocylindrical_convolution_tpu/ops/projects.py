@@ -92,15 +92,20 @@ def _bilinear_taps(grids, H, W):
     return taps
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def multi_project(x, h_out: int = 171, w_out: int = 256, fov: float = 0.5):
-    """(N, C, H, W) ERP -> (N*nview, C, h_out, w_out) viewports."""
-    return _mp_fwd(x, h_out, w_out, fov)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def multi_project(x, h_out: int = 171, w_out: int = 256, fov: float = 0.5,
+                  thetas: tuple = VIEW_THETAS, phis: tuple = VIEW_PHIS):
+    """(N, C, H, W) ERP -> (N*nview, C, h_out, w_out) viewports.
+
+    Custom (thetas, phis) tuples give MultiProjectM semantics
+    (PCONV_operator/MultiProject.py:25-33).
+    """
+    return _mp_fwd(x, h_out, w_out, fov, thetas, phis)[0]
 
 
-def _mp_fwd(x, h_out, w_out, fov):
+def _mp_fwd(x, h_out, w_out, fov, thetas=VIEW_THETAS, phis=VIEW_PHIS):
     n, c, H, W = x.shape
-    grids = _view_grids(h_out, w_out, fov, H, W)
+    grids = _view_grids(h_out, w_out, fov, H, W, thetas, phis)
     taps = _bilinear_taps(grids, H, W)
     xf = x.reshape(n, c, H * W)
     out = 0.0
@@ -111,9 +116,9 @@ def _mp_fwd(x, h_out, w_out, fov):
     return out, (n, c, H, W)
 
 
-def _mp_bwd(h_out, w_out, fov, res, g):
+def _mp_bwd(h_out, w_out, fov, thetas, phis, res, g):
     n, c, H, W = res
-    grids = _view_grids(h_out, w_out, fov, H, W)
+    grids = _view_grids(h_out, w_out, fov, H, W, thetas, phis)
     taps = _bilinear_taps(grids, H, W)
     nv = grids.shape[0]
     gg = g.reshape(n, nv, c, h_out, w_out).transpose(0, 2, 1, 3, 4)

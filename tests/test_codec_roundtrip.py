@@ -55,3 +55,21 @@ def test_encode_decode_bit_exact(tmp_path):
     rec = decode_image(params, CFG, GEOM, fn, (64, 128))
     assert rec.shape == (1, 3, 64, 128)
     assert np.isfinite(np.asarray(rec)).all()
+
+
+def test_batched_decode_bit_exact(tmp_path):
+    """Multiple bitstreams decoded in lockstep must each be bit-exact
+    (each stream runs the same compiled B=1 table program as its encoder)."""
+    params = cmpnet_init(jax.random.PRNGKey(0), CFG)
+    fns, planes_true = [], []
+    for i in range(2):
+        x = jax.random.uniform(jax.random.PRNGKey(10 + i), (1, 3, 64, 128))
+        fn = str(tmp_path / f"c{i}.bin")
+        encode_image(params, x, CFG, GEOM, fn)
+        _, _, hcode = _encode_tables(params, x, CFG, GEOM)
+        planes_true.append(np.asarray(hcode))
+        fns.append(fn)
+    planes = decode_latents(params["ent"], CFG, GEOM, 2, 16, fns)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            planes[i], planes_true[i].reshape(planes[i].shape))
