@@ -29,26 +29,28 @@ def main():
     from pseudocylindrical_convolution_tpu.models.cmpnet import (
         CMPNetConfig, cmpnet_init)
     from pseudocylindrical_convolution_tpu.codec.pipeline import (
-        encode_image, _encode_ranges)
+        encode_image, encode_images)
 
     cfg = CMPNetConfig(valid_dim=192, channels=192, code_channels=192,
-                       npart=16)
+                       npart=16, transform_dtype="bfloat16")
     geom = cfg.geometry()
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
     H, W = 512, 1024
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, H, W), jnp.float32)
 
     # warmup: compile AND pay the tunnel's one-time first-transfer cost
-    np.asarray(_encode_ranges(params, x, cfg, geom))
     encode_image(params, x, cfg, geom, "/tmp/bench_warm.bin")
     os.remove("/tmp/bench_warm.bin")
 
-    iters = 5
+    iters = 8
+    images = [jax.random.uniform(jax.random.PRNGKey(i), (1, 3, H, W),
+                                 jnp.float32) for i in range(iters)]
+    for im in images:
+        jax.block_until_ready(im)
     t0 = time.perf_counter()
-    total_bytes = 0
-    for i in range(iters):
-        total_bytes += encode_image(params, x, cfg, geom,
-                                    f"/tmp/bench_code_{i}.bin")
+    sizes = encode_images(params, images, cfg, geom,
+                          [f"/tmp/bench_code_{i}.bin" for i in range(iters)])
+    total_bytes = sum(sizes)
     dt = time.perf_counter() - t0
 
     mp = H * W / 1e6

@@ -38,6 +38,9 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
     lib.pcoder_encode_ranges.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.pcoder_encode_packed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.c_int32]
     lib.pcoder_end_encoder.restype = ctypes.c_long
     lib.pcoder_end_encoder.argtypes = [ctypes.c_void_p]
     lib.pcoder_start_decoder.argtypes = [ctypes.c_void_p]
@@ -87,6 +90,16 @@ class Coder:
         ranges = np.ascontiguousarray(ranges, dtype=np.int32)
         assert ranges.shape[1] == 3
         self._lib.pcoder_encode_ranges(self._h, _i32ptr(ranges), n)
+
+    def encode_packed(self, packed: np.ndarray, total: int = 65536):
+        """packed: (n,) uint32, v = low | ((high-1) << 16); fixed total."""
+        n = packed.shape[0]
+        if n == 0:
+            return
+        packed = np.ascontiguousarray(packed, dtype=np.uint32)
+        self._lib.pcoder_encode_packed(
+            self._h, packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n, total)
 
     def end_encoder(self) -> int:
         """Flush to file; returns the byte size."""

@@ -95,6 +95,25 @@ def _gather_ranges(tables, syms):
     return jax.vmap(per)(tables, syms)
 
 
+@jax.jit
+def _gather_ranges_packed(tables, syms):
+    """-> (B, n) uint32, v = low | ((high-1) << 16); total is always 65536
+    after the monotonic repair, so it needs no transfer."""
+    def per(t, s):
+        rows = jnp.arange(s.shape[0])
+        low = t[rows, s].astype(jnp.uint32)
+        high = t[rows, s + 1].astype(jnp.uint32)
+        return low | ((high - 1) << 16)
+    return jax.vmap(per)(tables, syms)
+
+
+def _encode_dispatch(params, x, cfg: CMPNetConfig, geom: Geometry):
+    """Launch the device side of an encode; returns an async packed array."""
+    _, plane, syms = _encode_latents_plane(params, x, cfg, geom)
+    tables = _table_program(params["ent"], plane, cfg, geom)
+    return _gather_ranges_packed(tables, syms)
+
+
 def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry, fnames):
     """Encode (B, 3, H, W) images to per-image bitstream files.
 
@@ -103,16 +122,29 @@ def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry, fnames):
     single = isinstance(fnames, str)
     if single:
         fnames = [fnames]
-    _, plane, syms = _encode_latents_plane(params, x, cfg, geom)
-    tables = _table_program(params["ent"], plane, cfg, geom)
-    ranges = np.asarray(_gather_ranges(tables, syms))
+    packed = np.asarray(_encode_dispatch(params, x, cfg, geom))
     sizes = []
     for b, fn in enumerate(fnames):
         coder = Coder(fn)
         coder.start_encoder()
-        coder.encode_ranges(ranges[b])
+        coder.encode_packed(packed[b], TOTAL)
         sizes.append(coder.end_encoder())
     return sizes[0] if single else sizes
+
+
+def encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
+                  fnames) -> list:
+    """Pipelined encode of a list of (1, 3, H, W) images: all device work is
+    dispatched up front (async), host AC drains behind it."""
+    futs = [_encode_dispatch(params, x, cfg, geom) for x in images]
+    sizes = []
+    for fut, fn in zip(futs, fnames):
+        packed = np.asarray(fut)
+        coder = Coder(fn)
+        coder.start_encoder()
+        coder.encode_packed(packed[0], TOTAL)
+        sizes.append(coder.end_encoder())
+    return sizes
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,21 @@ void pcoder_encode_ranges(void* h, const int32_t* ranges, int n) {
   }
 }
 
+// packed: one uint32 per symbol, v = sym_low | ((sym_high - 1) << 16), with
+// a fixed total. Valid because the CDF monotonic repair guarantees
+// 0 <= low < high <= total = 65536 (entropy_gmm_table semantics), so both
+// fields fit in 16 bits. Cuts the device->host transfer to 4 bytes/symbol.
+void pcoder_encode_packed(void* h, const uint32_t* packed, int n,
+                          int32_t total) {
+  auto* s = static_cast<Session*>(h);
+  for (int i = 0; i < n; ++i) {
+    uint32_t v = packed[i];
+    const int32_t row[2] = {static_cast<int32_t>(v & 0xFFFFu),
+                            static_cast<int32_t>((v >> 16) + 1u)};
+    s->enc->write(row, 0, static_cast<uint32_t>(total));
+  }
+}
+
 long pcoder_end_encoder(void* h) {
   auto* s = static_cast<Session*>(h);
   s->enc->finish();

@@ -33,6 +33,14 @@ class CMPNetConfig:
     opt: bool = True
     init: bool = False          # freeze E/D grads while initializing entropy
     top_alpha: float = 1e-4     # mse: 1e-4, ssim: 1e-2 (model_zoo_v2.py:314)
+    # MXU dtype for the analysis/synthesis convs ("float32" or "bfloat16");
+    # the entropy network always runs fp32 (CDF bit-exactness contract).
+    transform_dtype: str = "float32"
+
+    @property
+    def _tdtype(self):
+        import jax.numpy as _jnp
+        return None if self.transform_dtype == "float32" else _jnp.bfloat16
 
     @property
     def ngroup(self):
@@ -72,14 +80,14 @@ def cmpnet_apply(params, x, cfg: CMPNetConfig, geom: Geometry):
     """
     n = x.shape[0]
     tiles = sphere_slice(x, geom)
-    code = encoder_apply(params["encoder"], tiles, geom)
+    code = encoder_apply(params["encoder"], tiles, geom, cfg._tdtype)
     qmask = _code_mask(geom, n, code.shape[2], code.shape[3])
     code_f, code_i, hist = pseudo_quant(code, params["quant"]["weight"], qmask,
                                         cfg.top_alpha)
     # channel stub mask to valid_dim (StubMask, model_zoo_v2.py:315,326-327)
     vm = (jnp.arange(cfg.code_channels) < cfg.valid_dim
           ).astype(code_f.dtype)[None, :, None, None]
-    tx = decoder_apply(params["decoder"], code_f * vm, geom)
+    tx = decoder_apply(params["decoder"], code_f * vm, geom, cfg._tdtype)
     tx = sphere_uslice(tx, geom)
     # entropy branch: Extract(valid_dim) -> Dtow d2w -> -mean -> EntropyNet
     code_v = code_i[:, : cfg.valid_dim]
@@ -97,7 +105,7 @@ def cmpnet_encode_latents(params, x, cfg: CMPNetConfig, geom: Geometry):
     """
     n = x.shape[0]
     tiles = sphere_slice(x, geom)
-    code = encoder_apply(params["encoder"], tiles, geom)
+    code = encoder_apply(params["encoder"], tiles, geom, cfg._tdtype)
     qmask = _code_mask(geom, n, code.shape[2], code.shape[3])
     _, code_i, _ = pseudo_quant(code, params["quant"]["weight"], qmask,
                                 cfg.top_alpha)
@@ -115,6 +123,6 @@ def cmpnet_decode_latents(params, hcode_i, cfg: CMPNetConfig, geom: Geometry):
                              params["quant"]["weight"][: cfg.valid_dim], qmask)
     pad_ch = cfg.code_channels - cfg.valid_dim
     code_f = jnp.pad(code_ext, ((0, 0), (0, pad_ch), (0, 0), (0, 0)))
-    tx = decoder_apply(params["decoder"], code_f, geom)
+    tx = decoder_apply(params["decoder"], code_f, geom, cfg._tdtype)
     tx = sphere_uslice(tx, geom)
     return clip_data(tx)

@@ -28,12 +28,20 @@ def conv_init(key, cin, cout, k):
     return {"weight": w, "bias": b}
 
 
-def conv2d(p, x, stride: int = 1, mask=None):
+def conv2d(p, x, stride: int = 1, mask=None, dtype=None):
+    """VALID conv. With dtype=bfloat16 the MXU runs the contraction in bf16
+    with fp32 accumulation; elementwise math stays fp32. Safe for the
+    analysis/synthesis transform (symbols are quantized; the entropy network
+    must stay fp32 for the encoder/decoder CDF bit-exactness contract)."""
     w = p["weight"]
     if mask is not None:
         w = w * mask
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
     y = lax.conv_general_dilated(x, w, (stride, stride), "VALID",
-                                 dimension_numbers=_DN)
+                                 dimension_numbers=_DN,
+                                 preferred_element_type=jnp.float32)
     return y + p["bias"][None, :, None, None]
 
 

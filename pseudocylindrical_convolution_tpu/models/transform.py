@@ -34,11 +34,11 @@ def residual_block_init(key, ch):
             "conv3": conv_init(k[2], ch // 2, ch, 1)}
 
 
-def residual_block_apply(p, x, geom: Geometry):
+def residual_block_apply(p, x, geom: Geometry, dtype=None):
     tx = pseudo_pad(x, geom, 1)
-    y = prelu(p["relu1"], conv2d(p["conv1"], tx))
-    y = prelu(p["relu2"], conv2d(p["conv2"], y))
-    y = conv2d(p["conv3"], y)
+    y = prelu(p["relu1"], conv2d(p["conv1"], tx, dtype=dtype))
+    y = prelu(p["relu2"], conv2d(p["conv2"], y, dtype=dtype))
+    y = conv2d(p["conv3"], y, dtype=dtype)
     return pseudo_fill(x + y, geom)
 
 
@@ -52,14 +52,14 @@ def attention_block_init(key, ch):
                 "3": conv_init(k[6], ch, ch, 1)}}
 
 
-def attention_block_apply(p, x, geom: Geometry):
+def attention_block_apply(p, x, geom: Geometry, dtype=None):
     t = x
     for i in range(3):
-        t = residual_block_apply(p["trunk"][str(i)], t, geom)
+        t = residual_block_apply(p["trunk"][str(i)], t, geom, dtype)
     a = x
     for i in range(3):
-        a = residual_block_apply(p["attention"][str(i)], a, geom)
-    a = sigmoid(conv2d(p["attention"]["3"], a))
+        a = residual_block_apply(p["attention"][str(i)], a, geom, dtype)
+    a = sigmoid(conv2d(p["attention"]["3"], a, dtype=dtype))
     return pseudo_fill(x + t * a, geom)
 
 
@@ -71,10 +71,10 @@ def residual_block_v2_init(key, ch):
             "conv2": conv_init(k[1], ch, ch, 3), "relu2": prelu_init(ch)}
 
 
-def residual_block_v2_apply(p, x, geom: Geometry):
+def residual_block_v2_apply(p, x, geom: Geometry, dtype=None):
     tx = pseudo_pad(x, geom, 2)
-    y = prelu(p["relu1"], conv2d(p["conv1"], tx))
-    y = prelu(p["relu2"], conv2d(p["conv2"], y))
+    y = prelu(p["relu1"], conv2d(p["conv1"], tx, dtype=dtype))
+    y = prelu(p["relu2"], conv2d(p["conv2"], y, dtype=dtype))
     return pseudo_fill(x + y, geom)
 
 
@@ -87,12 +87,13 @@ def residual_block_down_init(key, ch, cin):
             "short_cut": conv_init(k[2], cin, ch, 1)}
 
 
-def residual_block_down_apply(p, x, geom: Geometry):
-    t = conv2d(p["short_cut"], x, stride=2)
+def residual_block_down_apply(p, x, geom: Geometry, dtype=None):
+    t = conv2d(p["short_cut"], x, stride=2, dtype=dtype)
     y = pseudo_pad(x, geom, 1)
-    y = prelu(p["relu1"], conv2d(p["conv1"], y, stride=2))
+    y = prelu(p["relu1"], conv2d(p["conv1"], y, stride=2, dtype=dtype))
     y = pseudo_pad(y, geom, 1)
-    y = gdn_apply(p["relu2"], conv2d(p["conv2"], y), geom)
+    y = gdn_apply(p["relu2"], conv2d(p["conv2"], y, dtype=dtype), geom,
+                  dtype=dtype)
     return pseudo_fill(t + y, geom)
 
 
@@ -102,9 +103,9 @@ def sphere_conv2_init(key, cin, cout):
     return {"conv": conv_init(key, cin, cout, 3)}
 
 
-def sphere_conv2_apply(p, x, geom: Geometry):
+def sphere_conv2_apply(p, x, geom: Geometry, dtype=None):
     x = pseudo_pad(x, geom, 1)
-    x = conv2d(p["conv"], x, stride=2)
+    x = conv2d(p["conv"], x, stride=2, dtype=dtype)
     return pseudo_fill(x, geom)
 
 
@@ -126,18 +127,18 @@ def encoder_init(key, channels=192, code_channels=192):
     }}
 
 
-def encoder_apply(p, x, geom: Geometry):
+def encoder_apply(p, x, geom: Geometry, dtype=None):
     n = p["net"]
-    x = residual_block_down_apply(n["0"], x, geom)
-    x = residual_block_v2_apply(n["1"], x, geom)
-    x = residual_block_down_apply(n["2"], x, geom)
-    x = attention_block_apply(n["3"], x, geom)
-    x = residual_block_v2_apply(n["4"], x, geom)
-    x = residual_block_down_apply(n["5"], x, geom)
-    x = residual_block_v2_apply(n["6"], x, geom)
-    x = sphere_conv2_apply(n["7"], x, geom)
-    x = attention_block_apply(n["8"], x, geom)
-    x = conv2d(n["9"], x)
+    x = residual_block_down_apply(n["0"], x, geom, dtype)
+    x = residual_block_v2_apply(n["1"], x, geom, dtype)
+    x = residual_block_down_apply(n["2"], x, geom, dtype)
+    x = attention_block_apply(n["3"], x, geom, dtype)
+    x = residual_block_v2_apply(n["4"], x, geom, dtype)
+    x = residual_block_down_apply(n["5"], x, geom, dtype)
+    x = residual_block_v2_apply(n["6"], x, geom, dtype)
+    x = sphere_conv2_apply(n["7"], x, geom, dtype)
+    x = attention_block_apply(n["8"], x, geom, dtype)
+    x = conv2d(n["9"], x, dtype=dtype)
     return pseudo_fill(sigmoid(x), geom)
 
 
@@ -150,13 +151,14 @@ def residual_block_up_init(key, ch):
             "short_cut": conv_init(k[2], ch, ch * 4, 1)}
 
 
-def residual_block_up_apply(p, x, geom: Geometry):
+def residual_block_up_apply(p, x, geom: Geometry, dtype=None):
     br1 = pseudo_pad(x, geom, 1)
-    br1 = prelu(p["relu1"], conv2d(p["conv1"], br1))
+    br1 = prelu(p["relu1"], conv2d(p["conv1"], br1, dtype=dtype))
     br1 = dtow(br1, 2, True)
     br1 = pseudo_pad(br1, geom, 1)
-    br1 = gdn_apply(p["relu2"], conv2d(p["conv2"], br1), geom, inverse=True)
-    br2 = dtow(conv2d(p["short_cut"], x), 2, True)
+    br1 = gdn_apply(p["relu2"], conv2d(p["conv2"], br1, dtype=dtype), geom,
+                    inverse=True, dtype=dtype)
+    br2 = dtow(conv2d(p["short_cut"], x, dtype=dtype), 2, True)
     return pseudo_fill(br1 + br2, geom)
 
 
@@ -179,18 +181,18 @@ def decoder_init(key, channels=192, code_channels=192):
     }}
 
 
-def decoder_apply(p, x, geom: Geometry):
+def decoder_apply(p, x, geom: Geometry, dtype=None):
     n = p["net"]
-    x = pseudo_fill(conv2d(n["0"]["conv"], x), geom)   # SphereConvOld
-    x = attention_block_apply(n["1"], x, geom)
-    x = residual_block_v2_apply(n["2"], x, geom)
-    x = residual_block_up_apply(n["3"], x, geom)
-    x = residual_block_v2_apply(n["4"], x, geom)
-    x = residual_block_up_apply(n["5"], x, geom)
-    x = attention_block_apply(n["6"], x, geom)
-    x = residual_block_v2_apply(n["7"], x, geom)
-    x = residual_block_up_apply(n["8"], x, geom)
-    x = residual_block_v2_apply(n["9"], x, geom)
+    x = pseudo_fill(conv2d(n["0"]["conv"], x, dtype=dtype), geom)
+    x = attention_block_apply(n["1"], x, geom, dtype)
+    x = residual_block_v2_apply(n["2"], x, geom, dtype)
+    x = residual_block_up_apply(n["3"], x, geom, dtype)
+    x = residual_block_v2_apply(n["4"], x, geom, dtype)
+    x = residual_block_up_apply(n["5"], x, geom, dtype)
+    x = attention_block_apply(n["6"], x, geom, dtype)
+    x = residual_block_v2_apply(n["7"], x, geom, dtype)
+    x = residual_block_up_apply(n["8"], x, geom, dtype)
+    x = residual_block_v2_apply(n["9"], x, geom, dtype)
     x = pseudo_pad(x, geom, 1)
-    x = conv2d(n["11"], x)
+    x = conv2d(n["11"], x, dtype=dtype)
     return dtow(x, 2, True)

@@ -50,7 +50,7 @@ def gdn_init(ch: int, gamma_init: float = 0.1):
             "gamma": jnp.asarray(gamma, jnp.float32)}
 
 
-def gdn_apply(params, x, geom: Geometry, inverse: bool = False):
+def gdn_apply(params, x, geom: Geometry, inverse: bool = False, dtype=None):
     """x: (N*npart, C, h, W)."""
     nb, ch, h, w = x.shape
     m = jnp.asarray(valid_mask(geom, h, w)).reshape(1, geom.npart, 1, h, w)
@@ -60,7 +60,13 @@ def gdn_apply(params, x, geom: Geometry, inverse: bool = False):
     beta = lower_bound(params["beta"], _BETA_BOUND) ** 2 - _PEDESTAL
     gamma = lower_bound(params["gamma"], _GAMMA_BOUND) ** 2 - _PEDESTAL
     # 1x1 conv on x^2: out[o] = sum_i gamma[o, i] * x2[i] + beta[o]
-    norm = jnp.einsum("nihw,oi->nohw", x * x, gamma) + beta[None, :, None, None]
+    x2 = x * x
+    if dtype is not None:
+        x2 = x2.astype(dtype)
+        gamma = gamma.astype(dtype)
+    norm = jnp.einsum("nihw,oi->nohw", x2, gamma,
+                      preferred_element_type=jnp.float32
+                      ) + beta[None, :, None, None]
     norm = jnp.sqrt(norm)
     norm = norm * mask + (1.0 - mask)
     return x * norm if inverse else x / norm
