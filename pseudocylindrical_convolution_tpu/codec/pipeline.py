@@ -166,27 +166,55 @@ def _slice_step_tables(tables, offset, pad_to: int):
 def _decode_step_fused(ent_params, plane, prev_pad, prev_syms, prev_valid,
                        offset, maxlen: int, cfg: CMPNetConfig,
                        geom: Geometry):
-    """Fused decode step: scatter previous symbols, run the table program,
-    slice this step's rows -- ONE dispatch and one small transfer per step.
+    """Fused decode step: scatter previous symbols, run the causal network,
+    build CDF rows for THIS step's window only -- one dispatch and one small
+    transfer per step.
 
-    Bit-exactness note: this inlines the same table computation as
-    `_table_program` in a separate jit. Convolution numerics are shape-
-    determined and the surrounding ops are elementwise/small-reductions, so
-    the step-z rows match the encoder's bit-for-bit; `tests/
-    test_codec_roundtrip.py` and the TPU CLI drive enforce this empirically.
+    Returns (plane, step_tb) with step_tb (B, maxlen, NSTEP-1) uint16: only
+    the interior CDF entries travel (entry 0 is always 0 and entry NSTEP is
+    always TOTAL after the monotonic repair; interior entries are in
+    [1, TOTAL-1] and fit uint16).
+
+    Bit-exactness: the network is the same code as the encoder's
+    `_table_body`; the per-row CDF math is elementwise + fixed tiny
+    reductions, so gathering the step window before the CDF build yields the
+    same integer rows. Enforced empirically by tests and the TPU CLI drive.
     """
     from pseudocylindrical_convolution_tpu.ops.gmm_table import gmm_cdf_table
-    B = plane.shape[0]
+    B, npart, ngroup, h, w = plane.shape
     flatp = plane.reshape(B, -1)
     vals = jnp.where(prev_valid, prev_syms.astype(jnp.float32) - BIAS, 0.0)
     flatp = jax.vmap(lambda fb, ix, v: fb.at[ix].add(v))(flatp, prev_pad,
                                                          vals)
     plane = flatp.reshape(plane.shape)
-    tables = _table_body(ent_params, plane, cfg, geom)
-    step_tb = jax.vmap(lambda t: jax.lax.dynamic_slice(
-        jnp.pad(t, ((0, maxlen), (0, 0))), (offset, 0),
-        (maxlen, t.shape[1])))(tables)
-    return plane, step_tb
+    nb = plane.reshape(B * npart, ngroup, h, w)
+    raw = entropy_net_raw(ent_params, nb, geom, ngroup)
+    flat = jnp.asarray(symbol_gather_index(geom, h, w, ngroup))
+    flat_win = jax.lax.dynamic_slice(
+        jnp.pad(flat, (0, maxlen)), (offset,), (maxlen,))
+
+    def per_image(raw_b):
+        def one(t):
+            c = t.shape[1]
+            ng = c // ngroup
+            t = t.reshape(npart, ngroup, ng, h, w).transpose(0, 1, 3, 4, 2)
+            return t.reshape(-1, ng)[flat_win]
+        tb = gmm_cdf_table(one(raw_b["weight"]), one(raw_b["delta"]),
+                           one(raw_b["mean"]), NSTEP, BIAS, TOTAL)
+        return tb[:, 1:NSTEP].astype(jnp.uint16)
+
+    raw_r = {k: v.reshape(B, npart, *v.shape[1:]) for k, v in raw.items()}
+    return plane, jax.vmap(per_image)(raw_r)
+
+
+def _unpack_step_tables(tb16: np.ndarray) -> np.ndarray:
+    """(n, NSTEP-1) uint16 interior entries -> (n, NSTEP+1) int32 rows."""
+    n = tb16.shape[0]
+    out = np.empty((n, NSTEP + 1), np.int32)
+    out[:, 0] = 0
+    out[:, 1:NSTEP] = tb16.astype(np.int32)
+    out[:, NSTEP] = TOTAL
+    return out
 
 
 @jax.jit
@@ -254,8 +282,8 @@ def decode_latents(ent_params, cfg: CMPNetConfig, geom: Geometry, h: int,
         pad = np.zeros((B, maxlen), np.int32)
         pad[:, :n] = flat[offsets[z]: offsets[z] + n]
         for b in range(B):
-            step_tb = np.asarray(futs[b])[0]
-            syms = coders[b].decodes(step_tb[:n], NSTEP, n)
+            step_tb = _unpack_step_tables(np.asarray(futs[b])[0, :n])
+            syms = coders[b].decodes(step_tb, NSTEP, n)
             out[b, offsets[z]: offsets[z] + n] = syms
             prev_syms[b, :n] = syms
         prev_pad = pad
