@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from pseudocylindrical_convolution_tpu.geometry import Geometry
-from pseudocylindrical_convolution_tpu.models.layers import conv2d, conv_init, prelu, prelu_init
+from pseudocylindrical_convolution_tpu.models.layers import conv2d, prelu, prelu_init
 from pseudocylindrical_convolution_tpu.ops.context_reshape import context_reshape
 from pseudocylindrical_convolution_tpu.ops.fill import pseudo_fill
 from pseudocylindrical_convolution_tpu.ops.gmm import entropy_gmm_loss

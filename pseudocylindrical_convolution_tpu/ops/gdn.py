@@ -6,7 +6,6 @@ and PCONV_operator/GDN.py:6-22 (LowerBound clamp with gradient gating).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pseudocylindrical_convolution_tpu.geometry import Geometry
-from pseudocylindrical_convolution_tpu.models.cmpnet import (
-    CMPNetConfig, cmpnet_encode_latents)
+from pseudocylindrical_convolution_tpu.models.cmpnet import CMPNetConfig
 
 
 def make_band_mesh(n_devices: int | None = None) -> Mesh:
