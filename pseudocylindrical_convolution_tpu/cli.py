@@ -87,11 +87,11 @@ def _write_image(path: str, data):
 
 def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0):
     import jax.numpy as jnp
-    from pseudocylindrical_convolution_tpu.codec.pipeline import encode_image
+    from pseudocylindrical_convolution_tpu.codec.pipeline import encode_images
     cfg, geom, params = _setup(model_idx, mse)
+    images = [jnp.asarray(_read_image(fn)) for fn in img_list]
+    encode_images(params, images, cfg, geom, code_list)
     for fn, fo in zip(img_list, code_list):
-        x = jnp.asarray(_read_image(fn))
-        encode_image(params, x, cfg, geom, fo)
         bpp = os.path.getsize(fo) * 8 / 1024.0 / 512.0
         print(f"Encoding {fn}, bitrate: {bpp:.3f}bpp")
 
