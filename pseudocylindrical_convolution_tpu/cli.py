@@ -99,9 +99,10 @@ def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0):
 def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
     cfg, geom, params = _setup(model_idx, mse)
-    for fc, fo in zip(code_list, out_list):
-        rec = decode_image(params, cfg, geom, fc)
-        _write_image(fo, rec)
+    # decode all streams in lockstep (amortizes the per-step host round trip)
+    recs = decode_image(params, cfg, geom, list(code_list))
+    for b, (fc, fo) in enumerate(zip(code_list, out_list)):
+        _write_image(fo, recs[b:b + 1])
         print(f"Decoding {fc}, output to {fo}")
 
 

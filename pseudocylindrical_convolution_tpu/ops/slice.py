@@ -7,7 +7,9 @@ band's valid width hindex[g], with circular wrap at the seam.
 Behavioral reference: extension/sphere_slice_cuda.cu:12-32,86-116 (slice) and
 extension/sphere_uslice_cuda.cu:12-30,72-99 (uslice). The reference's
 atomic-scatter backward tables are unnecessary here: both ops are 4-tap
-gathers whose transpose JAX derives automatically.
+gathers whose transpose JAX derives automatically. (The reference's
+`interp_type` constructor arg selects nothing -- only the Catmull-Rom path
+exists in its kernels -- so it is not reproduced.)
 """
 
 from __future__ import annotations

@@ -26,14 +26,12 @@ def shard_train_step(step_fn, mesh: Mesh, train_ent: bool, axis: str = "data"):
 
     batch layout: (acc_batch, micro_batch, 3, H, W), sharded over micro_batch.
     """
-    from jax.experimental.shard_map import shard_map
-
     def call(state, batch):
         return step_fn(state, batch, train_ent)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         call, mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

@@ -94,7 +94,9 @@ def run(args):
     test_idx = np.arange(len(test_ds))
 
     for epoch in range(1, args.epochs + 1):
-        train_ent = args.init or (epoch % 4 != 1)
+        # --base: reconstruction-only pretraining of encoder/decoder/quant
+        # (the reference's trainDDP_Base phase); --init: entropy-only.
+        train_ent = (not args.base) and (args.init or (epoch % 4 != 1))
         step = step_ent if train_ent else step_other
         idxs = (sampler.epoch_indices(epoch) if sampler
                 else np.random.RandomState(args.seed + epoch
@@ -127,6 +129,8 @@ def build_argparser():
     p.add_argument("--clip", type=float, default=0.1)
     p.add_argument("--opt", action="store_true", default=True)
     p.add_argument("--init", action="store_true", default=False)
+    p.add_argument("--base", action="store_true", default=False,
+                   help="reconstruction-only pretraining (trainDDP_Base)")
     p.add_argument("--viewport_size", type=int, default=171)
     p.add_argument("--channels", type=int, default=192)
     p.add_argument("--code-dim", type=int, default=192)
