@@ -157,6 +157,11 @@ class WavefrontCodec:
         """New frontier cells for one conv layer.
 
         buf: (3, C, S) [or (G, S) input]; returns (3, npart, h, G, cout).
+
+        Double-skew restructure: with kslab[t, u] = slab[t, u - t], the tap
+        (kh, kw) for cell (g, r) reads kslab[r + kh, (G+h-2) - g + kh + kw]
+        -- the column depends only on g and e = kh + kw. One 9-slice
+        diagonal view G2 plus h small einsums replace the naive 25-tap loop.
         """
         G, h, cpn = self.G, self.h, self.cpn
         W, bias, act = layer["w"], layer["b"], layer["a"]
@@ -166,20 +171,26 @@ class WavefrontCodec:
             slab = jnp.broadcast_to(slab[None], (3,) + slab.shape)
         # slab: (3, C, npart, h+4, SW) -> (3, npart, C, h+4, SW)
         slab = slab.transpose(0, 2, 1, 3, 4)
+        hp4 = h + 4
+        # kslab[..., t, u] = slab[..., t, u - t]
+        kslab = jnp.stack(
+            [jnp.pad(slab[:, :, :, t, :], ((0, 0), (0, 0), (0, 0),
+                                           (t, hp4 - t)))
+             for t in range(hp4)], axis=3)     # (3, npart, C, h+4, SW+h+4)
+        q0 = G + h - 2
+        # G2[..., v, g, e] = kslab[..., v, q0 + e - g], g ascending
+        G2 = jnp.stack(
+            [jnp.flip(kslab[:, :, :, :, q0 + e - (G - 1): q0 + e + 1],
+                      axis=-1) for e in range(9)], axis=-1)
+        # We[s, g, o, c, kh, e] = W[s, g, o, c, kh, e - kh]
+        We = jnp.stack(
+            [jnp.pad(W[:, :, :, :, kh, :], ((0, 0),) * 4 + ((kh, 4 - kh),))
+             for kh in range(5)], axis=4)      # (3, G, cout, C, 5, 9)
         outs = []
         for r in range(h):
-            acc = 0.0
-            for kh in range(5):
-                row = slab[:, :, :, r + kh, :]          # (3, npart, C, SW)
-                lo = h - 1 - r
-                seg = row[:, :, :, lo: lo + G + 4]
-                F = jnp.stack([seg[:, :, :, k: k + G] for k in range(5)],
-                              axis=-1)                   # (3,npart,C,G,5)
-                F = jnp.flip(F, axis=3)                  # index g ascending
-                acc = acc + jnp.einsum(
-                    "sbcgk,sgock->sbgo", F, W[:, :, :, :, kh, :],
-                    preferred_element_type=jnp.float32)
-            outs.append(acc)                             # (3, npart, G, cout)
+            outs.append(jnp.einsum(
+                "sgocke,sbckge->sbgo", We, G2[:, :, :, r: r + 5],
+                preferred_element_type=jnp.float32))
         out = jnp.stack(outs, axis=2)                    # (3, npart, h, G, co)
         bb = bias.reshape(3, 1, 1, G, cout)
         out = out + bb
