@@ -27,6 +27,7 @@ MODEL_MSE_LIST = ["1_56", "2_56", "3_56", "4_112", "5_112", "6_112", "7_112",
 MSE_CHANNEL_LIST = [56, 56, 56, 112, 112, 112, 112, 192, 192, 192]
 MSE_MODEL_DIR = "./demo/mse"
 SSIM_MODEL_DIR = "./demo/ssim"
+IMAGE_HW = (512, 1024)  # inputs auto-resized (pseudo_codec.py:229-234)
 
 psnr_f = lambda x: 10 * math.log10(1.0 / x)  # noqa: E731
 
@@ -73,8 +74,9 @@ def _read_image(path: str):
     img = cv2.imread(path)
     if img is None:
         raise FileNotFoundError(path)
-    if img.shape[:2] != (512, 1024):
-        img = cv2.resize(img, (1024, 512), interpolation=cv2.INTER_CUBIC)
+    if img.shape[:2] != IMAGE_HW:
+        img = cv2.resize(img, (IMAGE_HW[1], IMAGE_HW[0]),
+                         interpolation=cv2.INTER_CUBIC)
     x = img.transpose(2, 0, 1).astype(np.float32) / 255.0
     return x[None]
 
@@ -100,7 +102,7 @@ def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
     cfg, geom, params = _setup(model_idx, mse)
     # decode all streams in lockstep (amortizes the per-step host round trip)
-    recs = decode_image(params, cfg, geom, list(code_list))
+    recs = decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
     for b, (fc, fo) in enumerate(zip(code_list, out_list)):
         _write_image(fo, recs[b:b + 1])
         print(f"Decoding {fc}, output to {fo}")
@@ -114,8 +116,9 @@ def decoding_and_test(code_list, img_list, model_idx=0, mse=True,
     from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
     cfg, geom, params = _setup(model_idx, mse)
     rt_l, pr_l, ss_l = [], [], []
-    for fc, fn in zip(code_list, img_list):
-        rec = decode_image(params, cfg, geom, fc)
+    recs = decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
+    for b, (fc, fn) in enumerate(zip(code_list, img_list)):
+        rec = recs[b:b + 1]
         x = jnp.asarray(_read_image(fn))
         px = multi_project(x, 171, 256, 0.5)
         py = multi_project(rec, 171, 256, 0.5)
