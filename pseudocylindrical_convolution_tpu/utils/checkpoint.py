@@ -33,6 +33,21 @@ def load_params(path: str):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
+def save_params_orbax(params, path: str):
+    """Orbax checkpoint (async-safe, multi-host-aware) alternative to the
+    pickle format; use for sharded training state."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), _to_numpy_tree(params))
+
+
+def load_params_orbax(path: str):
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
 class ModelSaver:
     """Best/latest checkpoint keeper (ModuleSaver semantics)."""
 
