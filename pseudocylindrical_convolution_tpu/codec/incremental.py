@@ -153,7 +153,7 @@ class WavefrontCodec:
                 + jnp.take(buf, g1, axis=-1) * w1)
         return slab  # (..., C, npart, h+4, SW)
 
-    def _frontier_conv(self, buf, z, layer, cin_pg):
+    def _frontier_conv(self, buf, z, layer):
         """New frontier cells for one conv layer.
 
         buf: (3, C, S) [or (G, S) input]; returns (3, npart, h, G, cout).
@@ -249,17 +249,17 @@ class WavefrontCodec:
                 fb, v)
             return fb.reshape(buf.shape)
 
-        y0 = self._frontier_conv(bufs[0], z, weights[0], 1)
+        y0 = self._frontier_conv(bufs[0], z, weights[0])
         bufs[1] = scatter(bufs[1], y0)
         ycells = y0
         for r in range(5):
             li = 1 + 2 * r
-            c1 = self._frontier_conv(bufs[1 + 2 * r], z, weights[li], cpn)
+            c1 = self._frontier_conv(bufs[1 + 2 * r], z, weights[li])
             bufs[2 + 2 * r] = scatter(bufs[2 + 2 * r], c1)
-            c2 = self._frontier_conv(bufs[2 + 2 * r], z, weights[li + 1], cpn)
+            c2 = self._frontier_conv(bufs[2 + 2 * r], z, weights[li + 1])
             ycells = ycells + c2
             bufs[3 + 2 * r] = scatter(bufs[3 + 2 * r], ycells)
-        out = self._frontier_conv(bufs[11], z, weights[11], cpn)
+        out = self._frontier_conv(bufs[11], z, weights[11])
         # 3) CDF rows for the whole frontier grid, ordered (g, i)
         # out: (3, npart, h, G, ng) -> (G, h_out, ng) per param
         prm = out.transpose(0, 3, 1, 2, 4).reshape(3, G * self.h_out, self.ng)
