@@ -60,8 +60,15 @@ def load_codec_params(model_dir: str, prefix: str):
     return reference_to_params(sds["encoder"], sds["decoder"], sds["ent"])
 
 
-def _setup(model_idx: int, mse: bool):
+def _setup(model_idx: int, mse: bool, device_id: int = 0):
+    import jax
     from pseudocylindrical_convolution_tpu.models.cmpnet import CMPNetConfig
+    devices = jax.devices()
+    if not 0 <= device_id < len(devices):
+        raise SystemExit(
+            f"--gpu-id {device_id} out of range: {len(devices)} device(s) "
+            f"available ({devices})")
+    jax.config.update("jax_default_device", devices[device_id])
     prefix, vd, mdir = _model_spec(model_idx, mse)
     cfg = CMPNetConfig(valid_dim=vd)
     geom = cfg.geometry()
@@ -90,7 +97,7 @@ def _write_image(path: str, data):
 def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0):
     import jax.numpy as jnp
     from pseudocylindrical_convolution_tpu.codec.pipeline import encode_images
-    cfg, geom, params = _setup(model_idx, mse)
+    cfg, geom, params = _setup(model_idx, mse, device_id)
     images = [jnp.asarray(_read_image(fn)) for fn in img_list]
     encode_images(params, images, cfg, geom, code_list)
     for fn, fo in zip(img_list, code_list):
@@ -100,7 +107,7 @@ def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0):
 
 def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
-    cfg, geom, params = _setup(model_idx, mse)
+    cfg, geom, params = _setup(model_idx, mse, device_id)
     # decode all streams in lockstep (amortizes the per-step host round trip)
     recs = decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
     for b, (fc, fo) in enumerate(zip(code_list, out_list)):
@@ -114,7 +121,7 @@ def decoding_and_test(code_list, img_list, model_idx=0, mse=True,
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
     from pseudocylindrical_convolution_tpu.ops.projects import multi_project
     from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
-    cfg, geom, params = _setup(model_idx, mse)
+    cfg, geom, params = _setup(model_idx, mse, device_id)
     rt_l, pr_l, ss_l = [], [], []
     recs = decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
     for b, (fc, fn) in enumerate(zip(code_list, img_list)):

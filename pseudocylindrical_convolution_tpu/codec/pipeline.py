@@ -118,10 +118,19 @@ def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry, fnames):
     """Encode (B, 3, H, W) images to per-image bitstream files.
 
     fnames: str (B must be 1) or list of B names. Returns byte size(s).
+
+    B > 1 inputs are dispatched as B async single-image programs: the decoder
+    always evaluates the B=1 table program, and the bit-exactness contract
+    requires the encoder to have used the same program shape (see module
+    docstring), so a batched table program would produce undecodable streams.
     """
     single = isinstance(fnames, str)
     if single:
         fnames = [fnames]
+    assert x.shape[0] == len(fnames), "one bitstream file per image"
+    if x.shape[0] > 1:
+        return encode_images(params, [x[b:b + 1] for b in range(x.shape[0])],
+                             cfg, geom, fnames)
     packed = np.asarray(_encode_dispatch(params, x, cfg, geom))
     sizes = []
     for b, fn in enumerate(fnames):

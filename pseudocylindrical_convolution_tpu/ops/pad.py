@@ -38,85 +38,113 @@ def build_pad_tables(geom: Geometry, h: int, width: int, pad: int,
                      causal: bool = False):
     """Build (idx, w): each (2, npart, h+2p, W+2p) for the 2-tap pad gather.
 
-    Indices address the flattened (npart*h*width) input tensor.
+    Indices address the flattened (npart*h*width) input tensor. Fully
+    vectorized numpy (the scalar per-pixel float32 math of the CUDA table
+    kernels is reproduced with float32 array ops; the scalar-loop oracle
+    lives in tests/reference_sim.py).
     """
     npart = geom.npart
-    hindex = geom.hindex(h * npart, width)
+    hindex = np.asarray(geom.hindex(h * npart, width), dtype=np.int64)
     h2, w2 = h + 2 * pad, width + 2 * pad
-    idx = np.zeros((2, npart, h2, w2), dtype=np.int64)
-    wgt = np.zeros((2, npart, h2, w2), dtype=np.float64)
+    idx = np.zeros((2, npart, h2, w2), dtype=np.int32)
+    wgt = np.zeros((2, npart, h2, w2), dtype=np.float32)
 
-    def src(g, r, c):
-        return (g * h + r) * width + c
+    wl = hindex[:, None]                               # (npart, 1)
+    tw = np.arange(width)[None, :]                     # (1, width)
+    in_valid = tw < wl                                 # (npart, width)
 
     # 1) interior copy (pseudo_pad.cu:39-54): valid region only, rest zero.
-    for g in range(npart):
-        wl = int(hindex[g])
-        for r in range(h):
-            for c in range(wl):
-                idx[0, g, r + pad, c + pad] = src(g, r, c)
-                wgt[0, g, r + pad, c + pad] = 1.0
+    g3 = np.arange(npart, dtype=np.int32)[:, None, None]
+    r3 = np.arange(h, dtype=np.int32)[None, :, None]
+    c3 = np.arange(width, dtype=np.int32)[None, None, :]
+    interior = (g3 * h + r3) * width + c3              # (npart, h, width)
+    imask = c3 < wl[:, :, None]
+    idx[0, :, pad:pad + h, pad:pad + width] = np.where(imask, interior, 0)
+    wgt[0, :, pad:pad + h, pad:pad + width] = imask
 
     # 2) vertical pad rows via neighbour-band lerp (pseudo_pad.cu:57-79,
     #    tables pseudo_context_cuda.cu:51-104 / pseudo_entropy_context_cuda.cu
-    #    v1 kernel :111-170).
+    #    v1 kernel :111-170). Vectorized over (band, column) per pad row.
     H_full = h * npart
-    for g in range(npart):
-        wl = int(hindex[g])
-        for tl in range(2):            # 0: top pad rows, 1: bottom pad rows
-            for tp in range(pad):
-                dr = tp if tl == 0 else pad + h + tp
-                ph = g * h - pad + tp if tl == 0 else (g + 1) * h + tp
-                pole = ph < 0 or ph >= H_full
-                for tw in range(wl):
-                    dc = tw + pad
-                    if pole:
-                        if causal:
-                            continue   # causal contexts zero the pole rows
-                        rph = -ph - 1 if ph < 0 else 2 * H_full - ph - 1
-                        nw = tw + wl / 2.0
-                        if nw >= wl:
-                            nw -= wl
-                        pg = rph // h
-                        wp = int(hindex[pg])
-                        pw = _f32((nw + 0.5) / wl * wp - 0.5 + 1e-9)
-                        if pw < 0:
-                            pw = _f32(pw + wp)
-                        pidx = int(pw)
-                        t = float(_f32(pidx + 1 - pw))
-                        idx[0, g, dr, dc] = src(pg, rph % h, pidx)
-                        wgt[0, g, dr, dc] = t
-                        idx[1, g, dr, dc] = src(pg, rph % h, (pidx + 1) % wp)
-                        wgt[1, g, dr, dc] = 1.0 - t
-                    else:
-                        pg = ph // h
-                        wp = int(hindex[pg])
-                        pw = _f32((tw + 0.5) / wl * wp - 0.5 + 1e-9)
-                        if causal:
-                            pidx = -1 if pw < 0 else int(pw)
-                            if pidx > tw:
-                                continue          # fully future -> zero
-                            elif pidx + 1 > tw:   # pidx == tw: floor tap only
-                                idx[0, g, dr, dc] = src(pg, ph % h, pidx)
-                                wgt[0, g, dr, dc] = 1.0
-                            else:
-                                t = float(_f32(pidx + 1 - pw))
-                                if pidx == -1:
-                                    t = 0.0
-                                else:
-                                    idx[0, g, dr, dc] = src(pg, ph % h, pidx)
-                                    wgt[0, g, dr, dc] = t
-                                idx[1, g, dr, dc] = src(pg, ph % h, (pidx + 1) % wp)
-                                wgt[1, g, dr, dc] = 1.0 - t
-                        else:
-                            if pw < 0:
-                                pw = _f32(pw + wp)
-                            pidx = int(pw)
-                            t = float(_f32(pidx + 1 - pw))
-                            idx[0, g, dr, dc] = src(pg, ph % h, pidx)
-                            wgt[0, g, dr, dc] = t
-                            idx[1, g, dr, dc] = src(pg, ph % h, (pidx + 1) % wp)
-                            wgt[1, g, dr, dc] = 1.0 - t
+    gcol = np.arange(npart)[:, None]
+
+    def vertical_row(ph):
+        """Tables for one pad row: ph (npart, 1) source global row index.
+
+        Returns (i0, w0, i1, w1) each (npart, width); weights already
+        masked to the valid column range."""
+        i0 = np.zeros((npart, width), np.int64)
+        w0 = np.zeros((npart, width), np.float64)
+        i1 = np.zeros((npart, width), np.int64)
+        w1 = np.zeros((npart, width), np.float64)
+        pole = (ph < 0) | (ph >= H_full)               # (npart, 1)
+
+        # --- non-pole: lerp from the neighbouring band ---
+        phs = np.clip(ph, 0, H_full - 1)               # safe for pole rows
+        pg = phs // h
+        wp = hindex[pg[:, 0]][:, None]                 # (npart, 1)
+        pw = ((tw + 0.5) / wl * wp - 0.5 + 1e-9).astype(np.float32)
+        if causal:
+            pidx = np.where(pw < 0, -1, pw.astype(np.int64))
+            keep = pidx <= tw
+            floor_only = (pidx + 1 > tw) & keep        # pidx == tw
+            t32 = (pidx + 1).astype(np.float32) - pw
+            t = np.where(pidx == -1, 0.0, t32.astype(np.float64))
+            src0 = (pg * h + phs % h) * width + np.maximum(pidx, 0)
+            src1 = (pg * h + phs % h) * width + (pidx + 1) % wp
+            has0 = keep & ~floor_only & (pidx != -1)
+            i0[:] = np.where(floor_only, src0, np.where(has0, src0, 0))
+            w0[:] = np.where(floor_only, 1.0, np.where(has0, t, 0.0))
+            has1 = keep & ~floor_only
+            i1[:] = np.where(has1, src1, 0)
+            w1[:] = np.where(has1, 1.0 - t, 0.0)
+        else:
+            pw = np.where(pw < 0, pw + wp.astype(np.float32), pw)
+            pidx = pw.astype(np.int64)
+            t = ((pidx + 1).astype(np.float32) - pw).astype(np.float64)
+            i0[:] = (pg * h + phs % h) * width + pidx
+            w0[:] = t
+            i1[:] = (pg * h + phs % h) * width + (pidx + 1) % wp
+            w1[:] = 1.0 - t
+
+        # --- pole rows: reflect with a half-width shift (zero in causal) ---
+        if causal:
+            zero = pole & np.ones_like(in_valid)
+            i0 = np.where(zero, 0, i0)
+            w0 = np.where(zero, 0.0, w0)
+            i1 = np.where(zero, 0, i1)
+            w1 = np.where(zero, 0.0, w1)
+        elif pole.any():
+            rph = np.where(ph < 0, -ph - 1, 2 * H_full - ph - 1)
+            nw = tw + wl / 2.0
+            nw = np.where(nw >= wl, nw - wl, nw)
+            pgp = rph // h
+            wpp = hindex[np.clip(pgp[:, 0], 0, npart - 1)][:, None]
+            pwp = ((nw + 0.5) / wl * wpp - 0.5 + 1e-9).astype(np.float32)
+            pwp = np.where(pwp < 0, pwp + wpp.astype(np.float32), pwp)
+            pidxp = pwp.astype(np.int64)
+            tp_ = ((pidxp + 1).astype(np.float32) - pwp).astype(np.float64)
+            src0p = (pgp * h + rph % h) * width + pidxp
+            src1p = (pgp * h + rph % h) * width + (pidxp + 1) % wpp
+            i0 = np.where(pole, src0p, i0)
+            w0 = np.where(pole, tp_, w0)
+            i1 = np.where(pole, src1p, i1)
+            w1 = np.where(pole, 1.0 - tp_, w1)
+
+        return (np.where(in_valid, i0, 0), np.where(in_valid, w0, 0.0),
+                np.where(in_valid, i1, 0), np.where(in_valid, w1, 0.0))
+
+    for tp in range(pad):
+        i0, w0, i1, w1 = vertical_row(gcol * h - pad + tp)       # top rows
+        idx[0, :, tp, pad:pad + width] = i0
+        wgt[0, :, tp, pad:pad + width] = w0
+        idx[1, :, tp, pad:pad + width] = i1
+        wgt[1, :, tp, pad:pad + width] = w1
+        i0, w0, i1, w1 = vertical_row((gcol + 1) * h + tp)       # bottom rows
+        idx[0, :, pad + h + tp, pad:pad + width] = i0
+        wgt[0, :, pad + h + tp, pad:pad + width] = w0
+        idx[1, :, pad + h + tp, pad:pad + width] = i1
+        wgt[1, :, pad + h + tp, pad:pad + width] = w1
 
     # 3) circular horizontal pad composed in (pseudo_pad.cu:82-96 /
     #    pseudo_entropy_pad_cuda.cu:87-105): left pad wraps to the row end

@@ -27,7 +27,7 @@ def tiny_model(tmp_path, monkeypatch):
     # tiny images: npart*16 = 64 rows
     monkeypatch.setattr(cli, "IMAGE_HW", (64, 128))
 
-    def _setup(model_idx, mse):
+    def _setup(model_idx, mse, device_id=0):
         geom = cfg.geometry()
         return cfg, geom, cli.load_codec_params(str(mdir), "1_8")
 
