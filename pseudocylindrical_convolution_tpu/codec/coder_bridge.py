@@ -43,6 +43,16 @@ def _load():
         ctypes.c_int32]
     lib.pcoder_end_encoder.restype = ctypes.c_long
     lib.pcoder_end_encoder.argtypes = [ctypes.c_void_p]
+    lib.pcoder_end_encoder_buf.restype = ctypes.c_long
+    lib.pcoder_end_encoder_buf.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.pcoder_start_decoder_buf.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.pcoder_encode_lanes.restype = ctypes.c_long
+    lib.pcoder_encode_lanes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int32)]
     lib.pcoder_start_decoder.argtypes = [ctypes.c_void_p]
     lib.pcoder_decodes.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -53,6 +63,33 @@ def _load():
 
 def _i32ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def encode_lanes(packed: np.ndarray, lane_offsets: np.ndarray,
+                 total: int = 65536):
+    """Encode L independent arithmetic-coder lanes in one native call.
+
+    packed: lane-concatenated (low | (high-1) << 16) uint32 words;
+    lane_offsets: (L+1,) int64 prefix offsets into packed.
+    Returns (payload bytes with lane blocks back to back, lane_nbytes (L,)).
+    """
+    lib = _load()
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    offs = np.ascontiguousarray(lane_offsets, dtype=np.int64)
+    nlanes = offs.shape[0] - 1
+    lane_nbytes = np.zeros(nlanes, np.int32)
+    cap = int(packed.shape[0]) * 4 + 16 * nlanes + 64
+    while True:
+        out = np.zeros(cap, np.uint8)
+        n = int(lib.pcoder_encode_lanes(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            nlanes, total,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            lane_nbytes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+        if n >= 0:
+            return out[:n].tobytes(), lane_nbytes
+        cap = -n
 
 
 class Coder:
@@ -107,6 +144,24 @@ class Coder:
 
     def start_decoder(self):
         self._lib.pcoder_start_decoder(self._h)
+
+    def end_encoder_buf(self) -> bytes:
+        """Flush and return the payload bytes (no file IO)."""
+        cap = 1 << 16
+        while True:
+            out = np.zeros(cap, np.uint8)
+            n = int(self._lib.pcoder_end_encoder_buf(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap))
+            if n >= 0:
+                return out[:n].tobytes()
+            cap = -n
+
+    def start_decoder_buf(self, data: bytes):
+        buf = np.frombuffer(data, np.uint8)
+        self._lib.pcoder_start_decoder_buf(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(data))
 
     def decodes(self, tables: np.ndarray, ncode: int, n: int) -> np.ndarray:
         if n == 0:

@@ -86,6 +86,8 @@ class Encoder {
     }
   }
   void finish() {
+    if (finished_) return;  // idempotent: buffer flush may retry with a
+    finished_ = true;       // larger capacity after the size probe
     out_.put(1);
     out_.finish();
   }
@@ -95,6 +97,7 @@ class Encoder {
   uint64_t low_ = 0;
   uint64_t high_ = kMask;
   uint64_t underflow_ = 0;
+  bool finished_ = false;
   BitWriter out_;
 };
 
@@ -223,6 +226,58 @@ void pcoder_encode_packed(void* h, const uint32_t* packed, int n,
                             static_cast<int32_t>((v >> 16) + 1u)};
     s->enc->write(row, 0, static_cast<uint32_t>(total));
   }
+}
+
+// --- in-memory and multi-lane APIs (device-decodable stream support) ---
+
+// Finish the encoder and copy the payload into out (capacity cap bytes).
+// Returns the payload size; if it exceeds cap nothing is copied and the
+// negated required size is returned.
+long pcoder_end_encoder_buf(void* h, uint8_t* out, long cap) {
+  auto* s = static_cast<Session*>(h);
+  s->enc->finish();
+  const auto& b = s->enc->bytes();
+  long n = static_cast<long>(b.size());
+  if (n > cap) return -n;
+  if (n > 0) std::copy(b.begin(), b.end(), out);
+  delete s->enc;
+  s->enc = nullptr;
+  return n;
+}
+
+void pcoder_start_decoder_buf(void* h, const uint8_t* data, long n) {
+  auto* s = static_cast<Session*>(h);
+  delete s->dec;
+  s->dec = new Decoder(std::vector<uint8_t>(data, data + n));
+}
+
+// Encode L independent lanes. packed holds lane-concatenated
+// (low | (high-1)<<16) words; lane l covers packed[offsets[l], offsets[l+1]).
+// Each lane is a fresh arithmetic-coder stream (decodable in parallel by the
+// on-device decoder). Lane byte blocks are written back to back into out;
+// lane_nbytes[l] receives each block size. Returns the total byte count, or
+// the negated required size if it exceeds cap.
+long pcoder_encode_lanes(const uint32_t* packed, const int64_t* offsets,
+                         int nlanes, int32_t total, uint8_t* out, long cap,
+                         int32_t* lane_nbytes) {
+  long written = 0;
+  for (int l = 0; l < nlanes; ++l) {
+    Encoder enc;
+    for (int64_t i = offsets[l]; i < offsets[l + 1]; ++i) {
+      uint32_t v = packed[i];
+      const int32_t row[2] = {static_cast<int32_t>(v & 0xFFFFu),
+                              static_cast<int32_t>((v >> 16) + 1u)};
+      enc.write(row, 0, static_cast<uint32_t>(total));
+    }
+    enc.finish();
+    const auto& b = enc.bytes();
+    long n = static_cast<long>(b.size());
+    lane_nbytes[l] = static_cast<int32_t>(n);
+    if (written + n <= cap && n > 0)
+      std::copy(b.begin(), b.end(), out + written);
+    written += n;
+  }
+  return written <= cap ? written : -written;
 }
 
 long pcoder_end_encoder(void* h) {
