@@ -1,0 +1,377 @@
+"""Single-program wavefront codec: the whole image decodes in ONE dispatch.
+
+The reference decodes sequentially with 13 kernel launches plus a host
+arithmetic-coder sync per wavefront step (pseudo_codec.py:145-160,
+extension/entropy_conv_cuda_v2.cu, entropy_ctx_pad_run2_cuda.cu). Round 1's
+TPU port kept the host in the loop (one fused dispatch per step). This module
+removes the host entirely: a `lax.scan` over the wavefront steps carries the
+per-layer activation buffers, runs an incremental frontier network step, and
+decodes the step's symbols with the on-device arithmetic decoder
+(codec/device_ac.py) over L interleaved lanes. B images decode together in
+one program (per-image math has no cross-batch reductions, so a stream
+decodes identically in any slot of the B-shaped executable).
+
+The frontier network step is a *skew-window convolution*: writing
+y = global_row + col (anti-diagonal index), the step-z frontier of channel
+group g is the single slice y = z - g, and a 5x5 tap (di, dj) into any
+output cell of window slice yi reads input slice yi + di + dj at padded
+row r + di -- independent of band, row, and input group. So one step of one
+layer is ONE dense VALID convolution with a sheared 9x5 kernel
+(K[.., dt, di] = W[.., di, dt-di]) over a (G+8, h+4) window gathered from
+the flat activation buffer through the causal 2-tap pad tables. That keeps
+the MXU contraction at full channel width (cout = G*cpn) instead of the
+per-group 3-row matmuls a direct frontier gather produces.
+
+Bit-exactness is structural: the encoder teacher-forces the SAME compiled
+program (a runtime mode flag selects symbol source via lax.cond; both modes
+execute one executable), so encoder and decoder CDF tables are identical by
+construction -- the property the reference gets from replaying identical
+CUDA kernels, without its 238 sequential host round trips.
+
+Stream format: L independent arithmetic-coder lanes; symbol i of step z goes
+to lane i % L (coding order per codec/wavefront.py). Lane sizes are bounded
+by 16 bits/symbol + 16 (AC redundancy bound with total=65536), making every
+buffer shape static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pseudocylindrical_convolution_tpu.geometry import Geometry
+from pseudocylindrical_convolution_tpu.models.cmpnet import CMPNetConfig
+from pseudocylindrical_convolution_tpu.codec import device_ac
+from pseudocylindrical_convolution_tpu.codec.coder_bridge import encode_lanes
+from pseudocylindrical_convolution_tpu.codec.incremental import (
+    _static_tables, stack_step_weights)
+from pseudocylindrical_convolution_tpu.codec.pipeline import (
+    BIAS, NSTEP, TOTAL)
+from pseudocylindrical_convolution_tpu.codec.wavefront import (
+    wavefront_schedule)
+from pseudocylindrical_convolution_tpu.ops.gmm_table import gmm_cdf_table
+
+
+def _shear_kernel(w):
+    """(..., cout, cin, 5, 5) -> (..., cout, cin, 9, 5) sheared kernel.
+
+    K[..., dt, di] = W[..., di, dt - di] for 0 <= dt - di <= 4, else 0.
+    """
+    cols = []
+    for di in range(5):
+        col = w[..., di, :]                          # (..., 5) over dj
+        col = jnp.pad(col, [(0, 0)] * (col.ndim - 1) + [(di, 4 - di)])
+        cols.append(col)                             # (..., 9) over dt
+    return jnp.stack(cols, axis=-1)                  # (..., 9, 5)
+
+
+class ScanWavefrontCodec:
+    """Batched single-dispatch wavefront encoder/decoder.
+
+    B is part of the compiled executable (and of the stream header): a
+    stream encodes/decodes bit-exactly in any slot of the B-shaped program.
+    """
+
+    def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
+                 batch: int = 1, lanes: int = 64, cpn: int = 3,
+                 num_gaussian: int = 3):
+        self.cfg, self.geom, self.h, self.w = cfg, geom, h, w
+        self.B, self.L = batch, lanes
+        self.cpn, self.ng = cpn, num_gaussian
+        G = cfg.ngroup
+        npart = geom.npart
+        self.G, self.npart = G, npart
+        self.h_out = h * npart
+        self.S = npart * h * w                       # per-channel plane size
+        self.P = npart * G * h * w                   # symbol plane size
+
+        order, counts, nsteps = wavefront_schedule(geom, h, w, G)
+        self.counts, self.nsteps = counts, nsteps
+        self.offsets = np.concatenate([[0], np.cumsum(counts)])
+        self.nsym = int(self.offsets[-1])
+        maxlen = int(counts.max())
+        self.R = (maxlen + lanes - 1) // lanes       # AC rounds per step
+        self.maxlenp = self.R * lanes
+
+        i, j, g = order[:, 0], order[:, 1], order[:, 2]
+        b, r = i // h, i % h
+        grid = (g * self.h_out + i).astype(np.int32)          # CDF grid row
+        plane = (((b * G + g) * h + r) * w + j).astype(np.int32)
+        in0 = (g * self.S + (b * h + r) * w + j).astype(np.int32)
+
+        # per-step padded index arrays (scan xs); sentinels target the
+        # one-past-the-end slot of each scatter/gather destination
+        mlp = self.maxlenp
+        self.xs_grid = np.zeros((nsteps, mlp), np.int32)
+        self.xs_plane = np.full((nsteps, mlp), self.P, np.int32)
+        self.xs_in0 = np.full((nsteps, mlp), G * self.S, np.int32)
+        self.xs_m = np.full((nsteps, mlp), self.nsym, np.int32)
+        self.xs_valid = np.zeros((nsteps, mlp), bool)
+        lane_counts = np.zeros(lanes, np.int64)
+        lane_of_m = np.zeros(self.nsym, np.int32)
+        for z in range(nsteps):
+            n, o = int(counts[z]), int(self.offsets[z])
+            self.xs_grid[z, :n] = grid[o:o + n]
+            self.xs_plane[z, :n] = plane[o:o + n]
+            self.xs_in0[z, :n] = in0[o:o + n]
+            self.xs_m[z, :n] = np.arange(o, o + n)
+            self.xs_valid[z, :n] = True
+            lane_of_m[o:o + n] = np.arange(n) % lanes
+        lane_counts = np.bincount(lane_of_m, minlength=lanes).astype(np.int64)
+        self.lane_counts = lane_counts
+        self.lane_perm = np.argsort(lane_of_m, kind="stable")
+        self.lane_sym_off = np.concatenate([[0], np.cumsum(lane_counts)])
+
+        # static worst-case lane sizes: AC output <= 16 bits/sym + 2 bits
+        # redundancy, +1 finish bit, byte padding
+        lane_bits_max = lane_counts * 16 + 16
+        self.lane_words_max = ((lane_bits_max + 31) // 32).astype(np.int64)
+        self.word_off_1 = np.concatenate(
+            [[0], np.cumsum(self.lane_words_max)])[:-1].astype(np.int32)
+        self.NW = int(self.lane_words_max.sum())     # words per image
+
+        self._program = jax.jit(self._program_impl, static_argnums=(),
+                                donate_argnums=())
+        self._weights = None
+
+    # ------------------------------------------------------------------
+    def prepare(self, ent_params):
+        """Stack, mask, and shear the entropy-net weights (once per model)."""
+        layers = stack_step_weights(ent_params, self.G, self.cpn, self.ng)
+        self._weights = [
+            {"k": _shear_kernel(l["w"].reshape(
+                3, self.G * l["w"].shape[2], l["w"].shape[3], 5, 5)),
+             "b": l["b"], "a": l["a"]}
+            for l in layers]
+
+    # ------------------------------------------------------------------
+    def _window(self, buf, z):
+        """Skew window (..., npart, h+4, G+8) gathered through the causal
+        pad tables: element (b, rp, t) = padded[b, rp, cp],
+        cp = z - G + 1 - h*b + t - rp (padded column coordinate)."""
+        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np)
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        T = G + 8
+        b = jnp.arange(npart)[:, None, None]
+        rp = jnp.arange(h + 4)[None, :, None]
+        t = jnp.arange(T)[None, None, :]
+        cp = z - G + 1 - h * b + t - rp               # (npart, h+4, T)
+        oob = (cp < 0) | (cp >= w + 4)
+        cc = jnp.where(oob, w + 4, cp)                # sentinel column
+        i0 = jnp.take_along_axis(idxp[0], cc, axis=2)
+        w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)
+        i1 = jnp.take_along_axis(idxp[1], cc, axis=2)
+        w1 = jnp.take_along_axis(wgtp[1], cc, axis=2)
+        return (jnp.take(buf, i0, axis=-1) * w0
+                + jnp.take(buf, i1, axis=-1) * w1)
+
+    def _frontier_conv(self, buf, z, layer):
+        """One layer's new frontier cells via the sheared-kernel conv.
+
+        buf: (B, 3, C, S) [or (B, G, S) input plane]; returns
+        (3, B, npart, h, G, cout)."""
+        G, h, B, npart = self.G, self.h, self.B, self.npart
+        K, bias, act = layer["k"], layer["b"], layer["a"]
+        cout_full = K.shape[1]
+        cout = cout_full // G
+        win = self._window(buf, z)        # (B, 3, C, npart, h+4, T) | (B,G,..)
+        if win.ndim == 5:                                # input layer
+            win = jnp.broadcast_to(win[:, None], (B, 3) + win.shape[1:])
+        C = win.shape[2]
+        # -> (3, B*npart, C, T, rp)
+        lhs = win.transpose(1, 0, 3, 2, 5, 4).reshape(
+            3, B * npart, C, G + 8, h + 4)
+        outs = []
+        for s in range(3):
+            outs.append(jax.lax.conv_general_dilated(
+                lhs[s], K[s], (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32))
+        out = jnp.stack(outs)             # (3, B*npart, G*cout, G_y, h)
+        out = out.reshape(3, B * npart, G, cout, G, h)
+        out = jnp.flip(out, axis=4)       # y index -> group index
+        out = jnp.diagonal(out, axis1=2, axis2=4)   # (3, BN, cout, h, G)
+        out = out.transpose(0, 1, 3, 4, 2).reshape(3, B, npart, h, G, cout)
+        out = out + bias.reshape(3, 1, 1, 1, G, cout)
+        if act is not None:
+            a = act.reshape(3, 1, 1, 1, G, cout)
+            out = jnp.where(out >= 0, out, a * out)
+        return out
+
+    def _cell_flat_idx(self, z):
+        """Scatter indices into (C*S,) for the frontier cells; invalid cells
+        target the sentinel slot C*S (mode='drop')."""
+        G, h, w, cpn = self.G, self.h, self.w, self.cpn
+        npart, S = self.npart, self.S
+        b = jnp.arange(npart)[:, None, None]
+        r = jnp.arange(h)[None, :, None]
+        g = jnp.arange(G)[None, None, :]
+        j = z - g - (h * b + r)
+        wl = jnp.asarray(np.asarray(self.geom.hindex(self.h_out, w)))[
+            :, None, None]
+        valid = (j >= 0) & (j < wl)
+        jc = jnp.clip(j, 0, w - 1)
+        flat = (b * h + r) * w + jc
+        o = jnp.arange(cpn)[None, None, None, :]
+        cidx = (g[..., None] * cpn + o) * S + flat[..., None]
+        cidx = jnp.where(valid[..., None], cidx, G * cpn * S)
+        return cidx.reshape(-1)
+
+    # ------------------------------------------------------------------
+    def _program_impl(self, weights, words, word_off, nbits, teacher,
+                      decode_flag):
+        """words: (B*NW,) uint32; word_off/nbits: (B, L); teacher: (B, P)
+        int32 symbol plane (flat (npart, G, h, w)); decode_flag: bool scalar.
+
+        Returns (symbol plane (B, P) int32, packed ranges (B, nsym) uint32).
+        """
+        B, L, G, h, w = self.B, self.L, self.G, self.h, self.w
+        npart, S, P = self.npart, self.S, self.P
+        cpn, ng, R = self.cpn, self.ng, self.R
+        C = G * cpn
+
+        bufs = [jnp.zeros((B, G, S), jnp.float32)]
+        for _ in range(11):
+            bufs.append(jnp.zeros((B, 3, C, S), jnp.float32))
+        ac = device_ac.init_state(words, word_off, nbits)
+        out_plane = jnp.zeros((B, P + 1), jnp.int32)
+        packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
+
+        xs = (jnp.arange(self.nsteps),
+              jnp.asarray(self.xs_grid), jnp.asarray(self.xs_plane),
+              jnp.asarray(self.xs_in0), jnp.asarray(self.xs_m),
+              jnp.asarray(self.xs_valid))
+
+        def scatter_cells(buf, cells, cidx):
+            # buf (B, 3, C, S); cells (3, B, npart, h, G, cpn)
+            v = cells.transpose(1, 0, 2, 3, 4, 5).reshape(B * 3, -1)
+            fb = buf.reshape(B * 3, C * S)
+            fb = jax.vmap(
+                lambda fbs, vv: fbs.at[cidx].add(vv, mode="drop"))(fb, v)
+            return fb.reshape(buf.shape)
+
+        def body(carry, x):
+            bufs, ac, out_plane, packed = carry
+            z, grid_sel, plane_sel, in0_sel, m_sel, valid = x
+
+            cidx = self._cell_flat_idx(z)
+            y0 = self._frontier_conv(bufs[0], z, weights[0])
+            bufs[1] = scatter_cells(bufs[1], y0, cidx)
+            ycells = y0
+            for blk in range(5):
+                li = 1 + 2 * blk
+                c1 = self._frontier_conv(bufs[1 + 2 * blk], z, weights[li])
+                bufs[2 + 2 * blk] = scatter_cells(bufs[2 + 2 * blk], c1, cidx)
+                c2 = self._frontier_conv(bufs[2 + 2 * blk], z,
+                                         weights[li + 1])
+                ycells = ycells + c2
+                bufs[3 + 2 * blk] = scatter_cells(bufs[3 + 2 * blk], ycells,
+                                                  cidx)
+            out = self._frontier_conv(bufs[11], z, weights[11])
+            # CDF grid (B, G*h_out, 9): grid row = g*h_out + (b*h + r)
+            prm = out.transpose(0, 1, 4, 2, 3, 5).reshape(
+                3, B, G * self.h_out, ng)
+            tb = jax.vmap(
+                lambda ww, dd, mm: gmm_cdf_table(ww, dd, mm, NSTEP, BIAS,
+                                                 TOTAL))(
+                prm[0], prm[1], prm[2])              # (B, NG, 9) int32
+            tbu = tb.astype(jnp.uint32)
+
+            new_in0 = bufs[0].reshape(B, G * S)
+            for rr in range(R):
+                sl = slice(rr * L, (rr + 1) * L)
+                act_l = valid[sl]
+                actB = jnp.broadcast_to(act_l[None], (B, L))
+                cdf = tbu[:, grid_sel[sl]]           # (B, L, 9)
+
+                def dec(ac_):
+                    return device_ac.decode_symbols(ac_, words, cdf, actB)
+
+                def tea(ac_):
+                    tsy = teacher[:, jnp.minimum(plane_sel[sl], P - 1)]
+                    return ac_, jnp.where(actB, tsy, 0)
+
+                ac, sy = jax.lax.cond(decode_flag, dec, tea, ac)
+                lowv = jnp.take_along_axis(cdf, sy[..., None].astype(
+                    jnp.int32), axis=-1)[..., 0]
+                highv = jnp.take_along_axis(cdf, sy[..., None].astype(
+                    jnp.int32) + 1, axis=-1)[..., 0]
+                pk = lowv | ((highv - jnp.uint32(1)) << jnp.uint32(16))
+                out_plane = out_plane.at[:, plane_sel[sl]].set(
+                    sy, mode="drop")
+                packed = packed.at[:, m_sel[sl]].set(pk, mode="drop")
+                new_in0 = new_in0.at[:, in0_sel[sl]].set(
+                    sy.astype(jnp.float32) - BIAS, mode="drop")
+            bufs[0] = new_in0.reshape(B, G, S)
+            return (bufs, ac, out_plane, packed), None
+
+        (bufs, ac, out_plane, packed), _ = jax.lax.scan(
+            body, (bufs, ac, out_plane, packed), xs)
+        return out_plane[:, :P], packed[:, :self.nsym]
+
+    # ------------------------------------------------------------------
+    def _run(self, words, word_off, nbits, teacher, decode: bool):
+        if self._weights is None:
+            raise RuntimeError("call prepare(ent_params) first")
+        return self._program(self._weights, words, word_off, nbits, teacher,
+                             jnp.asarray(decode))
+
+    def encode_planes(self, planes: np.ndarray):
+        """planes: (B, npart, G, h, w) integer symbols. Returns a list of B
+        (payload bytes, lane_nbytes) pairs (header handling is the caller's;
+        see codec/container.py)."""
+        B, L = self.B, self.L
+        assert planes.shape == (B, self.npart, self.G, self.h, self.w)
+        teacher = jnp.asarray(planes.reshape(B, self.P).astype(np.int32))
+        words = jnp.zeros((B * self.NW,), jnp.uint32)
+        word_off = jnp.zeros((B, L), jnp.int32)
+        nbits = jnp.zeros((B, L), jnp.uint32)
+        _, packed = self._run(words, word_off, nbits, teacher, decode=False)
+        packed = np.asarray(packed)
+        out = []
+        loff = self.lane_sym_off.astype(np.int64)
+        for b in range(B):
+            payload, lane_nbytes = encode_lanes(packed[b][self.lane_perm],
+                                                loff, TOTAL)
+            assert (lane_nbytes.astype(np.int64) * 8
+                    <= self.lane_counts * 16 + 16).all(), \
+                "lane exceeded the static AC size bound"
+            out.append((payload, lane_nbytes))
+        return out
+
+    def decode_streams(self, streams):
+        """streams: list of <= B (payload bytes, lane_nbytes) pairs.
+        Returns (B', npart, G, h, w) int32 symbol planes."""
+        B, L, NW = self.B, self.L, self.NW
+        nreq = len(streams)
+        assert nreq <= B
+        words = np.zeros((B, NW), np.uint32)
+        nbits = np.zeros((B, L), np.uint32)
+        for b, (payload, lane_nbytes) in enumerate(streams):
+            lane_nbytes = np.asarray(lane_nbytes, np.int64)
+            pos = 0
+            for l in range(L):
+                nb = int(lane_nbytes[l])
+                lane = np.frombuffer(payload, np.uint8, count=nb, offset=pos)
+                pos += nb
+                wb = np.zeros(((nb + 3) // 4) * 4, np.uint8)
+                wb[:nb] = lane
+                w32 = wb.reshape(-1, 4).astype(np.uint32)
+                off = int(self.word_off_1[l])
+                words[b, off:off + w32.shape[0]] = (
+                    (w32[:, 0] << 24) | (w32[:, 1] << 16)
+                    | (w32[:, 2] << 8) | w32[:, 3])
+                nbits[b, l] = nb * 8
+        word_off = (self.word_off_1[None, :]
+                    + (np.arange(B, dtype=np.int64)[:, None] * NW)
+                    ).astype(np.int32)
+        teacher = jnp.zeros((B, self.P), jnp.int32)
+        plane, _ = self._run(jnp.asarray(words.reshape(-1)),
+                             jnp.asarray(word_off), jnp.asarray(nbits),
+                             teacher, decode=True)
+        plane = np.asarray(plane[:nreq])
+        return plane.reshape(nreq, self.npart, self.G, self.h, self.w)

@@ -1,0 +1,103 @@
+"""Single-program wavefront codec (codec/wavefront_scan.py).
+
+Covers the full round-2 decode design: scan over steps, skew-window conv
+frontier network, on-device lane-interleaved arithmetic decoding, and the
+teacher-forced same-executable encoder.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pseudocylindrical_convolution_tpu.models.cmpnet import (
+    CMPNetConfig, cmpnet_init)
+from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+    ScanWavefrontCodec)
+from pseudocylindrical_convolution_tpu.codec.pipeline import (
+    BIAS, _table_program)
+from pseudocylindrical_convolution_tpu.codec.wavefront import (
+    symbol_gather_index)
+
+H, W = 2, 8
+B, L = 2, 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=4)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(0), cfg)
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L)
+    codec.prepare(params["ent"])
+    hindex = geom.hindex(H * 4, W)
+    mask = np.zeros((4, cfg.ngroup, H, W), bool)
+    for b in range(4):
+        mask[b, :, :, :int(hindex[b])] = True
+    return cfg, geom, params, codec, mask
+
+
+def test_roundtrip_and_slot_decode(setup):
+    cfg, geom, params, codec, mask = setup
+    rng = np.random.default_rng(0)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    streams = codec.encode_planes(planes)
+    dec = codec.decode_streams(streams)
+    assert ((dec == planes) | ~mask[None]).all()
+
+    # one real stream in a B-shaped executable slot (dummy co-batch)
+    dec1 = codec.decode_streams([streams[1]])
+    assert ((dec1[0] == planes[1]) | ~mask).all()
+
+    # streams are self-contained: re-decoding in a different order works
+    dec_r = codec.decode_streams([streams[1], streams[0]])
+    assert ((dec_r[0] == planes[1]) | ~mask).all()
+    assert ((dec_r[1] == planes[0]) | ~mask).all()
+
+
+def test_scan_tables_match_dense_program(setup):
+    """The skew-window conv step must compute the same causal network as the
+    dense table program: coder ranges should agree exactly (both are fp32
+    convs over identical inputs; a rare off-by-one from reassociated
+    reductions is tolerated, a structural error shifts many entries)."""
+    cfg, geom, params, codec, mask = setup
+    rng = np.random.default_rng(3)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+
+    teacher = jnp.asarray(planes.reshape(B, -1))
+    words = jnp.zeros((B * codec.NW,), jnp.uint32)
+    _, packed = codec._run(words, jnp.zeros((B, L), jnp.int32),
+                           jnp.zeros((B, L), jnp.uint32), teacher,
+                           decode=False)
+    packed = np.asarray(packed)
+
+    flat = symbol_gather_index(geom, H, W, cfg.ngroup)
+    mism = 0
+    for b in range(B):
+        plane_b = jnp.asarray(planes[b:b + 1].astype(np.float32)) - BIAS
+        tables = np.asarray(
+            _table_program(params["ent"], plane_b, cfg, geom))[0]
+        syms = planes[b].reshape(-1)[flat]
+        low = tables[np.arange(len(syms)), syms].astype(np.uint32)
+        high = tables[np.arange(len(syms)), syms + 1].astype(np.uint32)
+        pd = low | ((high - 1) << 16)
+        d_lo = np.abs((packed[b] & 0xFFFF).astype(int)
+                      - (pd & 0xFFFF).astype(int))
+        d_hi = np.abs((packed[b] >> 16).astype(int) - (pd >> 16).astype(int))
+        assert max(d_lo.max(), d_hi.max()) <= 1
+        mism += int((packed[b] != pd).sum())
+    assert mism <= 0.01 * B * codec.nsym
+
+
+def test_corrupt_stream_decodes_garbage_not_crash(setup):
+    cfg, geom, params, codec, mask = setup
+    rng = np.random.default_rng(5)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    streams = codec.encode_planes(planes)
+    payload, lane_nbytes = streams[0]
+    bad = bytearray(payload)
+    if len(bad) > 2:
+        bad[1] ^= 0xFF
+    dec = codec.decode_streams([(bytes(bad), lane_nbytes)])
+    assert dec.shape == (1, 4, cfg.ngroup, H, W)
+    assert ((dec >= 0) & (dec <= 7)).all()
