@@ -94,22 +94,44 @@ def _write_image(path: str, data):
     cv2.imwrite(path, img.astype(np.uint8))
 
 
-def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0):
+def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0,
+             mode="scan", batch=4, lanes=64):
+    """mode 'scan': single-program codec, bit-exact by shared executable
+    (default). mode 'dense': one-shot parallel tables (fastest encode)."""
     import jax.numpy as jnp
     from pseudocylindrical_convolution_tpu.codec.pipeline import encode_images
+    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+        scan_encode_images)
     cfg, geom, params = _setup(model_idx, mse, device_id)
     images = [jnp.asarray(_read_image(fn)) for fn in img_list]
-    encode_images(params, images, cfg, geom, code_list)
+    if mode == "scan":
+        scan_encode_images(params, images, cfg, geom, code_list,
+                           batch=batch, lanes=lanes)
+    else:
+        encode_images(params, images, cfg, geom, code_list)
     for fn, fo in zip(img_list, code_list):
         bpp = os.path.getsize(fo) * 8 / 1024.0 / 512.0
         print(f"Encoding {fn}, bitrate: {bpp:.3f}bpp")
 
 
-def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
+def _decode_any(params, cfg, geom, code_list):
+    """Dispatch on the stream header: every file is self-describing."""
+    from pseudocylindrical_convolution_tpu.codec import container
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
+    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+        scan_decode_images)
+    modes = {container.read_stream(fc)["mode"] for fc in code_list}
+    if len(modes) != 1:
+        raise SystemExit(f"mixed stream modes in one decode run: {modes}")
+    if modes.pop() == container.MODE_SCAN:
+        return scan_decode_images(params, cfg, geom, list(code_list),
+                                  IMAGE_HW)
+    return decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
+
+
+def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
     cfg, geom, params = _setup(model_idx, mse, device_id)
-    # decode all streams in lockstep (amortizes the per-step host round trip)
-    recs = decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
+    recs = _decode_any(params, cfg, geom, code_list)
     for b, (fc, fo) in enumerate(zip(code_list, out_list)):
         _write_image(fo, recs[b:b + 1])
         print(f"Decoding {fc}, output to {fo}")
@@ -118,12 +140,11 @@ def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
 def decoding_and_test(code_list, img_list, model_idx=0, mse=True,
                       device_id=0):
     import jax.numpy as jnp
-    from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
     from pseudocylindrical_convolution_tpu.ops.projects import multi_project
     from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
     cfg, geom, params = _setup(model_idx, mse, device_id)
     rt_l, pr_l, ss_l = [], [], []
-    recs = decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
+    recs = _decode_any(params, cfg, geom, code_list)
     for b, (fc, fn) in enumerate(zip(code_list, img_list)):
         rec = recs[b:b + 1]
         x = jnp.asarray(_read_image(fn))
@@ -162,6 +183,15 @@ def main(argv=None):
     parser.add_argument("--ssim", action="store_true", default=False)
     parser.add_argument("--gpu-id", type=int, default=0,
                         help="device index (TPU chip ordinal)")
+    parser.add_argument("--mode", choices=["scan", "dense"], default="scan",
+                        help="encode mode: 'scan' = single-program codec "
+                        "(bit-exact by construction), 'dense' = one-shot "
+                        "parallel tables (fastest encode); decode "
+                        "auto-detects from the stream header")
+    parser.add_argument("--batch", type=int, default=4,
+                        help="scan-mode executable batch size")
+    parser.add_argument("--lanes", type=int, default=64,
+                        help="scan-mode arithmetic-coder lanes per stream")
     args = parser.parse_args(argv)
     midx = args.model_idx
     if args.ssim:
@@ -178,7 +208,8 @@ def main(argv=None):
         read_list(args.out_file) if args.out_file else None)
     if args.enc:
         assert img and code and len(img) == len(code)
-        encoding(img, code, midx, not args.ssim, args.gpu_id)
+        encoding(img, code, midx, not args.ssim, args.gpu_id,
+                 mode=args.mode, batch=args.batch, lanes=args.lanes)
     elif args.dec:
         assert code and out and len(code) == len(out)
         decoding(code, out, midx, not args.ssim, args.gpu_id)

@@ -35,6 +35,7 @@ from pseudocylindrical_convolution_tpu.models.cmpnet import (
     CMPNetConfig, cmpnet_decode_latents, cmpnet_encode_latents)
 from pseudocylindrical_convolution_tpu.models.entropy import entropy_net_raw
 from pseudocylindrical_convolution_tpu.codec.coder_bridge import Coder
+from pseudocylindrical_convolution_tpu.codec import container
 from pseudocylindrical_convolution_tpu.codec.wavefront import (
     symbol_gather_index, wavefront_schedule)
 
@@ -108,10 +109,19 @@ def _gather_ranges_packed(tables, syms):
 
 
 def _encode_dispatch(params, x, cfg: CMPNetConfig, geom: Geometry):
-    """Launch the device side of an encode; returns an async packed array."""
+    """Launch the device side of an encode; returns (packed async, (h, w))."""
     _, plane, syms = _encode_latents_plane(params, x, cfg, geom)
     tables = _table_program(params["ent"], plane, cfg, geom)
-    return _gather_ranges_packed(tables, syms)
+    return _gather_ranges_packed(tables, syms), plane.shape[3:5]
+
+
+def _write_dense(fname, packed_row, geom: Geometry, cfg: CMPNetConfig, h, w):
+    coder = Coder(fname)
+    coder.start_encoder()
+    coder.encode_packed(packed_row, TOTAL)
+    payload = coder.end_encoder_buf()
+    return container.write_stream(fname, container.MODE_DENSE, geom.npart,
+                                  cfg.valid_dim, h, w, payload)
 
 
 def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry, fnames):
@@ -131,13 +141,10 @@ def encode_image(params, x, cfg: CMPNetConfig, geom: Geometry, fnames):
     if x.shape[0] > 1:
         return encode_images(params, [x[b:b + 1] for b in range(x.shape[0])],
                              cfg, geom, fnames)
-    packed = np.asarray(_encode_dispatch(params, x, cfg, geom))
-    sizes = []
-    for b, fn in enumerate(fnames):
-        coder = Coder(fn)
-        coder.start_encoder()
-        coder.encode_packed(packed[b], TOTAL)
-        sizes.append(coder.end_encoder())
+    fut, (h, w) = _encode_dispatch(params, x, cfg, geom)
+    packed = np.asarray(fut)
+    sizes = [_write_dense(fn, packed[b], geom, cfg, h, w)
+             for b, fn in enumerate(fnames)]
     return sizes[0] if single else sizes
 
 
@@ -147,12 +154,9 @@ def encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
     dispatched up front (async), host AC drains behind it."""
     futs = [_encode_dispatch(params, x, cfg, geom) for x in images]
     sizes = []
-    for fut, fn in zip(futs, fnames):
+    for (fut, (h, w)), fn in zip(futs, fnames):
         packed = np.asarray(fut)
-        coder = Coder(fn)
-        coder.start_encoder()
-        coder.encode_packed(packed[0], TOTAL)
-        sizes.append(coder.end_encoder())
+        sizes.append(_write_dense(fn, packed[0], geom, cfg, h, w))
     return sizes
 
 
@@ -257,8 +261,11 @@ def decode_latents(ent_params, cfg: CMPNetConfig, geom: Geometry, h: int,
     maxlen = int(counts.max())
     coders = []
     for fn in fnames:
+        hdr = container.read_stream(fn)
+        container.check_stream(hdr, fn, container.MODE_DENSE, geom.npart,
+                               cfg.valid_dim, h, w)
         c = Coder(fn)
-        c.start_decoder()
+        c.start_decoder_buf(hdr["payload"])
         coders.append(c)
     # one (1, ...) plane per stream so every stream runs through the SAME
     # compiled B=1 table program the encoder used (bit-exactness contract);

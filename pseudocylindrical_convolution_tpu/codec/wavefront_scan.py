@@ -343,6 +343,36 @@ class ScanWavefrontCodec:
             out.append((payload, lane_nbytes))
         return out
 
+    def encode_files(self, planes: np.ndarray, fnames):
+        """Encode (B, npart, G, h, w) symbol planes to self-describing
+        container files (mode=scan); fnames may be shorter than B (padding
+        slots are dropped). Returns file sizes."""
+        from pseudocylindrical_convolution_tpu.codec import container
+        streams = self.encode_planes(planes)
+        sizes = []
+        for (payload, lane_nbytes), fn in zip(streams, fnames):
+            sizes.append(container.write_stream(
+                fn, container.MODE_SCAN, self.npart, self.cfg.valid_dim,
+                self.h, self.w, payload, lanes=self.L, batch=self.B,
+                lane_nbytes=lane_nbytes))
+        return sizes
+
+    def decode_files(self, fnames):
+        """Decode <= B container files -> (len(fnames), npart, G, h, w)."""
+        from pseudocylindrical_convolution_tpu.codec import container
+        streams = []
+        for fn in fnames:
+            hdr = container.read_stream(fn)
+            container.check_stream(hdr, fn, container.MODE_SCAN, self.npart,
+                                   self.cfg.valid_dim, self.h, self.w)
+            if hdr["lanes"] != self.L or hdr["batch"] != self.B:
+                raise ValueError(
+                    f"{fn}: stream was encoded for a (batch={hdr['batch']}, "
+                    f"lanes={hdr['lanes']}) executable, decoder is "
+                    f"(batch={self.B}, lanes={self.L})")
+            streams.append((hdr["payload"], hdr["lane_nbytes"]))
+        return self.decode_streams(streams)
+
     def decode_streams(self, streams):
         """streams: list of <= B (payload bytes, lane_nbytes) pairs.
         Returns (B', npart, G, h, w) int32 symbol planes."""
@@ -375,3 +405,75 @@ class ScanWavefrontCodec:
                              teacher, decode=True)
         plane = np.asarray(plane[:nreq])
         return plane.reshape(nreq, self.npart, self.G, self.h, self.w)
+
+
+# ---------------------------------------------------------------------------
+# Image-level scan-mode API (the CLI's default codec mode)
+# ---------------------------------------------------------------------------
+
+_CODEC_CACHE = {}
+
+
+def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
+                   batch: int, lanes: int) -> ScanWavefrontCodec:
+    key = (cfg, geom, h, w, batch, lanes)
+    codec = _CODEC_CACHE.get(key)
+    if codec is None:
+        codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes)
+        _CODEC_CACHE[key] = codec
+    return codec
+
+
+def _prepared(codec: ScanWavefrontCodec, ent_params):
+    if getattr(codec, "_prepared_src", None) is not ent_params:
+        codec.prepare(ent_params)
+        codec._prepared_src = ent_params
+    return codec
+
+
+def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
+                       fnames, batch: int = 4, lanes: int = 64):
+    """Encode a list of (1, 3, H, W) images to scan-mode container files."""
+    from pseudocylindrical_convolution_tpu.codec.pipeline import (
+        _encode_latents_plane)
+    assert len(images) == len(fnames)
+    planes = []
+    for x in images:
+        hcode, _, _ = _encode_latents_plane(params, x, cfg, geom)
+        nb, G, h, w = hcode.shape
+        planes.append(np.asarray(hcode).astype(np.int32).reshape(
+            geom.npart, G, h, w))
+    h, w = planes[0].shape[2:]
+    codec = _prepared(get_scan_codec(cfg, geom, h, w, batch, lanes),
+                      params["ent"])
+    sizes = []
+    for o in range(0, len(planes), batch):
+        chunk = planes[o:o + batch]
+        full = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
+        sizes += codec.encode_files(full, fnames[o:o + batch])
+    return sizes
+
+
+def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
+                       image_hw=(512, 1024)):
+    """Decode scan-mode container files -> (len(fnames), 3, H, W)."""
+    from pseudocylindrical_convolution_tpu.codec import container
+    from pseudocylindrical_convolution_tpu.codec.pipeline import (
+        _decode_image_from_latents)
+    H, W = image_hw
+    h = H // geom.npart // 8
+    w = W // 8
+    hdr0 = container.read_stream(fnames[0])
+    container.check_stream(hdr0, fnames[0], container.MODE_SCAN, geom.npart,
+                           cfg.valid_dim, h, w)
+    codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
+                                     int(hdr0["lanes"])), params["ent"])
+    recs = []
+    for o in range(0, len(fnames), codec.B):
+        planes = codec.decode_files(fnames[o:o + codec.B])
+        hcode = jnp.asarray(
+            (planes.astype(np.float32)).reshape(
+                planes.shape[0] * geom.npart, cfg.ngroup, h, w))
+        recs.append(np.asarray(_decode_image_from_latents(
+            params, hcode, cfg, geom)))
+    return np.concatenate(recs, axis=0)

@@ -39,12 +39,14 @@ def tiny_model(tmp_path, monkeypatch):
     return fn, tmp_path
 
 
-def test_cli_enc_dec_test_roundtrip(tiny_model, capsys):
+@pytest.mark.parametrize("mode", ["scan", "dense"])
+def test_cli_enc_dec_test_roundtrip(tiny_model, capsys, mode):
     fn, tmp = tiny_model
     code = str(tmp / "img.bin")
     out = str(tmp / "img_dec.png")
     cli.main(["--enc", "--img-list", fn, "--code-list", code,
-              "--model-idx", "0"])
+              "--model-idx", "0", "--mode", mode, "--batch", "2",
+              "--lanes", "8"])
     assert os.path.getsize(code) > 0
     cli.main(["--dec", "--code-list", code, "--out-list", out,
               "--model-idx", "0"])
