@@ -142,8 +142,9 @@ def decoding_and_test(code_list, img_list, model_idx=0, mse=True,
     import jax.numpy as jnp
     from pseudocylindrical_convolution_tpu.ops.projects import multi_project
     from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
+    from pseudocylindrical_convolution_tpu.ops.wspsnr import ws_psnr
     cfg, geom, params = _setup(model_idx, mse, device_id)
-    rt_l, pr_l, ss_l = [], [], []
+    rt_l, pr_l, ss_l, ws_l = [], [], [], []
     recs = _decode_any(params, cfg, geom, code_list)
     for b, (fc, fn) in enumerate(zip(code_list, img_list)):
         rec = recs[b:b + 1]
@@ -153,13 +154,15 @@ def decoding_and_test(code_list, img_list, model_idx=0, mse=True,
         mse_loss = float(jnp.mean((px - py) ** 2))
         pr = psnr_f(mse_loss)
         vssim = float(ssim_fn(px, py))
+        wsp = float(ws_psnr(x, jnp.asarray(rec)))
         rt = os.path.getsize(fc) * 8 / 1024.0 / 512.0
-        rt_l.append(rt); pr_l.append(pr); ss_l.append(vssim)
+        rt_l.append(rt); pr_l.append(pr); ss_l.append(vssim); ws_l.append(wsp)
         print(f"Decoding {fc}, compare it to {fn} \n "
-              f"Bitrate:{rt:.3f}bpp, PSNR:{pr:.2f}dB, SSIM:{vssim:.4f}")
+              f"Bitrate:{rt:.3f}bpp, PSNR:{pr:.2f}dB, SSIM:{vssim:.4f}, "
+              f"WS-PSNR:{wsp:.2f}dB")
     print("-" * 53 + "\nAverage Performance\n" + "-" * 53)
     print(f"Bitrate:{np.mean(rt_l):.3f}bpp, PSNR:{np.mean(pr_l):.2f}dB, "
-          f"SSIM:{np.mean(ss_l):.4f}")
+          f"SSIM:{np.mean(ss_l):.4f}, WS-PSNR:{np.mean(ws_l):.2f}dB")
 
 
 def read_list(fname):

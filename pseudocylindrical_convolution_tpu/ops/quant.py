@@ -19,6 +19,16 @@ The custom VJP replicates the reference's three gradient paths exactly
                    applies with a plain SGD step (reference keeps ``count``
                    as a parameter with its own optimizer,
                    trainDDP_Full.py:139).
+
+One deliberate deviation: both cotangent-independent paths (weight grad and
+histogram) are normalized by the leading dim N (= batch * npart) instead of
+the reference's raw sums. The reference's sums make gradients scale with the
+local batch size, so DDP-averaged multi-GPU grads differ from single-GPU
+grads on the concatenated batch by a factor of world_size. Normalizing makes
+data-parallel pmean EXACTLY equal to the single-device gradient under any
+sharding (tests/test_train_multichip.py, tests/test_multihost.py); the
+constant rescale is absorbed by Adam's second-moment normalization (weight)
+and by the count SGD learning rate.
 """
 
 from __future__ import annotations
@@ -66,7 +76,8 @@ def _quantize(x, weight, mask):
 def _neg_hist(q, mask, channels, bins):
     onehot = jax.nn.one_hot(q, bins, dtype=jnp.float32)    # (N,C,H,W,bins)
     onehot = onehot * mask[..., None]
-    return -jnp.sum(onehot, axis=(0, 2, 3))                # (C, bins)
+    # per-tile mean over N (see module docstring: DP == single-device)
+    return -jnp.sum(onehot, axis=(0, 2, 3)) / q.shape[0]   # (C, bins)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -97,7 +108,8 @@ def _quant_bwd(top_alpha, res, grads):
     jidx = jnp.arange(bins)
     # contrib[c, j] = sum over positions with q >= j of err
     sel = (q[..., None] >= jidx[None, None, None, None, :]).astype(x.dtype)
-    wgrad = jnp.sum(err[..., None] * sel, axis=(0, 2, 3))   # (C, bins)
+    # per-tile mean over N (see module docstring: DP == single-device)
+    wgrad = jnp.sum(err[..., None] * sel, axis=(0, 2, 3)) / x.shape[0]
     scale = jnp.concatenate(
         [jnp.ones_like(gaps[:, :1]), gaps[:, 1:]], axis=1)
     wgrad = wgrad * scale

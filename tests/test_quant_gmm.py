@@ -33,9 +33,9 @@ def test_quant_forward_nearest():
         # ties resolve upward; allow either when numerically tied
         assert abs(L[c, q[idx]] - x[idx]) <= abs(L[c, best] - x[idx]) + 1e-6
         np.testing.assert_allclose(top[idx], L[c, q[idx]], rtol=1e-6)
-    # histogram: negative usage counts
+    # histogram: negative usage counts, mean-normalized over N
     h = np.asarray(hist)
-    assert h.sum() == -x.size / C * C / 1  # all positions valid
+    assert h.sum() == -x.size / x.shape[0]  # all positions valid
     assert (h <= 0).all()
 
 

@@ -2,6 +2,7 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if "--tpu" not in sys.argv:
     os.environ["JAX_PLATFORMS"]="cpu"
+    import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax
 from pseudocylindrical_convolution_tpu.models.cmpnet import CMPNetConfig, cmpnet_init
 from pseudocylindrical_convolution_tpu.codec.pipeline import (

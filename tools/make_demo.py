@@ -2,6 +2,7 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"]="cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax, cv2
 from pseudocylindrical_convolution_tpu.models.cmpnet import CMPNetConfig, cmpnet_init
 from pseudocylindrical_convolution_tpu.utils.checkpoint import save_params

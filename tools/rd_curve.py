@@ -34,6 +34,7 @@ def main():
         encode_images, decode_image)
     from pseudocylindrical_convolution_tpu.ops.projects import multi_project
     from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
+    from pseudocylindrical_convolution_tpu.ops.wspsnr import ws_psnr
     from pseudocylindrical_convolution_tpu.train.rdmetric import (
         mse_anchor, ssim_anchor)
 
@@ -43,7 +44,7 @@ def main():
                else range(len(names)))
     os.makedirs(args.tmp, exist_ok=True)
     xs = [jnp.asarray(cli._read_image(fn)) for fn in imgs]
-    print(f"{'model':>8} {'bpp':>8} {'psnr':>8} {'ssim':>8} "
+    print(f"{'model':>8} {'bpp':>8} {'psnr':>8} {'ssim':>8} {'wspsnr':>8} "
           f"{'anchor':>10}")
     for mi in indices:
         try:
@@ -55,9 +56,9 @@ def main():
                for i in range(len(imgs))]
         sizes = encode_images(params, xs, cfg, geom, fns)
         bpp = float(np.mean([s * 8 / 1024.0 / 512.0 for s in sizes]))
-        psnr = vssim = float("nan")
+        psnr = vssim = wsp = float("nan")
         if args.decode:
-            prs, sss = [], []
+            prs, sss, wss = [], [], []
             recs = decode_image(params, cfg, geom, fns)
             for i, x in enumerate(xs):
                 px = multi_project(x, 171, 256, 0.5)
@@ -65,11 +66,13 @@ def main():
                 mse = float(jnp.mean((px - py) ** 2))
                 prs.append(cli.psnr_f(mse))
                 sss.append(float(ssim_fn(px, py)))
+                wss.append(float(ws_psnr(x, jnp.asarray(recs[i:i + 1]))))
             psnr, vssim = float(np.mean(prs)), float(np.mean(sss))
+            wsp = float(np.mean(wss))
         anchor = (float(ssim_anchor(bpp)) if args.ssim
                   else -10 * np.log10(float(mse_anchor(bpp))))
         print(f"{names[mi]:>8} {bpp:8.4f} {psnr:8.2f} {vssim:8.4f} "
-              f"{anchor:10.4f}")
+              f"{wsp:8.2f} {anchor:10.4f}")
 
 
 if __name__ == "__main__":
