@@ -290,10 +290,13 @@ class WavefrontCodec:
         for z in range(self.nsteps):
             n = int(self.counts[z])
             o = self.offsets[z]
+            # jnp.array (NOT asarray): jax zero-copies suitably-aligned
+            # numpy buffers on CPU, and these arrays are mutated below
+            # while the async-dispatched step may still be reading them
             bufs, tb = self._step(weights, bufs,
-                                  (jnp.asarray(prev_pos.astype(np.int32)),
-                                   jnp.asarray(prev_sym),
-                                   jnp.asarray(prev_val)), z)
+                                  (jnp.array(prev_pos.astype(np.int32)),
+                                   jnp.array(prev_sym),
+                                   jnp.array(prev_val)), z)
             if n == 0:
                 prev_val[:] = False
                 continue

@@ -281,18 +281,21 @@ def decode_latents(ent_params, cfg: CMPNetConfig, geom: Geometry, h: int,
         n = int(counts[z])
         if n == 0:
             for b in range(B):
+                # jnp.array (NOT asarray): these numpy buffers are mutated
+                # below while the async dispatch may still be reading them
+                # (jax zero-copies aligned numpy on CPU)
                 planes_d[b] = _scatter_prev(
-                    planes_d[b], jnp.asarray(prev_pad[b:b + 1]),
-                    jnp.asarray(prev_syms[b:b + 1]),
-                    jnp.asarray(prev_valid[b:b + 1]))
+                    planes_d[b], jnp.array(prev_pad[b:b + 1]),
+                    jnp.array(prev_syms[b:b + 1]),
+                    jnp.array(prev_valid[b:b + 1]))
             prev_valid[:] = False
             continue
         futs = []
         for b in range(B):
             planes_d[b], step_tb = _decode_step_fused(
-                ent_params, planes_d[b], jnp.asarray(prev_pad[b:b + 1]),
-                jnp.asarray(prev_syms[b:b + 1]),
-                jnp.asarray(prev_valid[b:b + 1]), int(offsets[z]),
+                ent_params, planes_d[b], jnp.array(prev_pad[b:b + 1]),
+                jnp.array(prev_syms[b:b + 1]),
+                jnp.array(prev_valid[b:b + 1]), int(offsets[z]),
                 maxlen, cfg, geom)
             futs.append(step_tb)
         pad = np.zeros((B, maxlen), np.int32)

@@ -22,6 +22,13 @@ the flat activation buffer through the causal 2-tap pad tables. That keeps
 the MXU contraction at full channel width (cout = G*cpn) instead of the
 per-group 3-row matmuls a direct frontier gather produces.
 
+Memory layout is channel-LAST ((..., S, C)) so the window gather fetches
+contiguous C-sized rows (the TPU vector lane axis) instead of strided
+scalars, and frontier write-back is a masked full-buffer add (iota == diag
+comparison fused by XLA into one streaming pass) instead of an XLA scatter
+-- ablation on a v5e chip showed the channel-major gather + scatter pair
+cost ~8 of the 12 ms/step (tools/prof_scan_ablate.py).
+
 Bit-exactness is structural: the encoder teacher-forces the SAME compiled
 program (a runtime mode flag selects symbol source via lax.cond; both modes
 execute one executable), so encoder and decoder CDF tables are identical by
@@ -100,14 +107,15 @@ class ScanWavefrontCodec:
         b, r = i // h, i % h
         grid = (g * self.h_out + i).astype(np.int32)          # CDF grid row
         plane = (((b * G + g) * h + r) * w + j).astype(np.int32)
-        in0 = (g * self.S + (b * h + r) * w + j).astype(np.int32)
+        # input plane is channel-last (B, S, G): flat index s*G + g
+        in0 = (((b * h + r) * w + j) * G + g).astype(np.int32)
 
         # per-step padded index arrays (scan xs); sentinels target the
         # one-past-the-end slot of each scatter/gather destination
         mlp = self.maxlenp
         self.xs_grid = np.zeros((nsteps, mlp), np.int32)
         self.xs_plane = np.full((nsteps, mlp), self.P, np.int32)
-        self.xs_in0 = np.full((nsteps, mlp), G * self.S, np.int32)
+        self.xs_in0 = np.full((nsteps, mlp), self.S * G, np.int32)
         self.xs_m = np.full((nsteps, mlp), self.nsym, np.int32)
         self.xs_valid = np.zeros((nsteps, mlp), bool)
         lane_counts = np.zeros(lanes, np.int64)
@@ -139,19 +147,27 @@ class ScanWavefrontCodec:
 
     # ------------------------------------------------------------------
     def prepare(self, ent_params):
-        """Stack, mask, and shear the entropy-net weights (once per model)."""
+        """Stack, mask, and shear the entropy-net weights (once per model).
+
+        Kernels are stored HWIO ((3, 9, 5, C_in, C_out)) for the
+        channels-last conv."""
         layers = stack_step_weights(ent_params, self.G, self.cpn, self.ng)
         self._weights = [
             {"k": _shear_kernel(l["w"].reshape(
-                3, self.G * l["w"].shape[2], l["w"].shape[3], 5, 5)),
+                3, self.G * l["w"].shape[2], l["w"].shape[3], 5, 5))
+             .transpose(0, 3, 4, 2, 1),
              "b": l["b"], "a": l["a"]}
             for l in layers]
 
     # ------------------------------------------------------------------
     def _window(self, buf, z):
-        """Skew window (..., npart, h+4, G+8) gathered through the causal
-        pad tables: element (b, rp, t) = padded[b, rp, cp],
-        cp = z - G + 1 - h*b + t - rp (padded column coordinate)."""
+        """Skew window gathered through the causal pad tables, channel-last.
+
+        buf: (B, 3, S, C) layer buffer or (B, S, G) input plane. Window
+        element (b, rp, t) = padded[b, rp, cp], cp = z - G + 1 - h*b + t - rp
+        (padded column coordinate). Returns (B[, 3], npart, h+4, T, C): the
+        gather fetches contiguous C-rows (vector-lane axis), which is the
+        fast gather shape on TPU."""
         idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
         idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np)
         G, h, w, npart = self.G, self.h, self.w, self.npart
@@ -163,63 +179,69 @@ class ScanWavefrontCodec:
         oob = (cp < 0) | (cp >= w + 4)
         cc = jnp.where(oob, w + 4, cp)                # sentinel column
         i0 = jnp.take_along_axis(idxp[0], cc, axis=2)
-        w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)
+        w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)[..., None]
         i1 = jnp.take_along_axis(idxp[1], cc, axis=2)
-        w1 = jnp.take_along_axis(wgtp[1], cc, axis=2)
-        return (jnp.take(buf, i0, axis=-1) * w0
-                + jnp.take(buf, i1, axis=-1) * w1)
+        w1 = jnp.take_along_axis(wgtp[1], cc, axis=2)[..., None]
+        axis = buf.ndim - 2                            # the S axis
+        return (jnp.take(buf, i0, axis=axis) * w0
+                + jnp.take(buf, i1, axis=axis) * w1)
 
     def _frontier_conv(self, buf, z, layer):
         """One layer's new frontier cells via the sheared-kernel conv.
 
-        buf: (B, 3, C, S) [or (B, G, S) input plane]; returns
-        (3, B, npart, h, G, cout)."""
+        buf: (B, 3, S, C) [or (B, S, G) input plane]; returns channel-last
+        cells (3, B, npart, h, C_out)."""
         G, h, B, npart = self.G, self.h, self.B, self.npart
-        K, bias, act = layer["k"], layer["b"], layer["a"]
-        cout_full = K.shape[1]
-        cout = cout_full // G
-        win = self._window(buf, z)        # (B, 3, C, npart, h+4, T) | (B,G,..)
+        K, bias, act = layer["k"], layer["b"], layer["a"]   # K: (3,9,5,C,co)
+        cout_full = K.shape[-1]
+        win = self._window(buf, z)     # (B, 3, npart, h+4, T, C) | (B, ...)
         if win.ndim == 5:                                # input layer
             win = jnp.broadcast_to(win[:, None], (B, 3) + win.shape[1:])
-        C = win.shape[2]
-        # -> (3, B*npart, C, T, rp)
-        lhs = win.transpose(1, 0, 3, 2, 5, 4).reshape(
-            3, B * npart, C, G + 8, h + 4)
+        C = win.shape[-1]
+        # -> (3, B*npart, T, rp, C): batch/spatial reorder only, C stays
+        # minor (no lane-crossing relayout)
+        lhs = win.transpose(1, 0, 2, 4, 3, 5).reshape(
+            3, B * npart, G + 8, h + 4, C)
         outs = []
         for s in range(3):
             outs.append(jax.lax.conv_general_dilated(
                 lhs[s], K[s], (1, 1), "VALID",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32))
-        out = jnp.stack(outs)             # (3, B*npart, G*cout, G_y, h)
-        out = out.reshape(3, B * npart, G, cout, G, h)
-        out = jnp.flip(out, axis=4)       # y index -> group index
-        out = jnp.diagonal(out, axis1=2, axis2=4)   # (3, BN, cout, h, G)
-        out = out.transpose(0, 1, 3, 4, 2).reshape(3, B, npart, h, G, cout)
-        out = out + bias.reshape(3, 1, 1, 1, G, cout)
+        out = jnp.stack(outs)             # (3, B*npart, G_y, h, cout_full)
+        # output channel c (group g = c // cout) keeps y-slice G-1-g:
+        # masked reduction over G_y (streaming; replaces flip+diagonal)
+        grp = np.arange(cout_full) // (cout_full // G)
+        sel = (np.arange(G)[:, None] == (G - 1 - grp)[None, :])
+        out = jnp.sum(out * jnp.asarray(sel, out.dtype)[:, None, :], axis=2)
+        out = out.reshape(3, B, npart, h, cout_full)
+        out = out + bias.reshape(3, 1, 1, 1, cout_full)
         if act is not None:
-            a = act.reshape(3, 1, 1, 1, G, cout)
+            a = act.reshape(3, 1, 1, 1, cout_full)
             out = jnp.where(out >= 0, out, a * out)
         return out
 
-    def _cell_flat_idx(self, z):
-        """Scatter indices into (C*S,) for the frontier cells; invalid cells
-        target the sentinel slot C*S (mode='drop')."""
-        G, h, w, cpn = self.G, self.h, self.w, self.cpn
-        npart, S = self.npart, self.S
-        b = jnp.arange(npart)[:, None, None]
-        r = jnp.arange(h)[None, :, None]
-        g = jnp.arange(G)[None, None, :]
-        j = z - g - (h * b + r)
+    def _deposit(self, buf, cells, z):
+        """Add the step-z frontier cells into a channel-last layer buffer.
+
+        buf: (B, 3, S, C); cells: (3, B, npart, h, C). The write target of
+        channel c (group g) at tile row (b, r) is column j = z - g - (h*b+r);
+        expressed as an iota comparison the update is one streaming masked
+        add over the buffer -- far cheaper than an XLA scatter on TPU."""
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        C = buf.shape[-1]
+        grp = jnp.asarray(np.arange(C) // (C // G))            # (C,)
+        b = jnp.arange(npart)[:, None, None, None]
+        r = jnp.arange(h)[None, :, None, None]
+        j = jnp.arange(w)[None, None, :, None]
+        tgt = z - grp[None, None, None, :] - (h * b + r)       # (np,h,1,C)+j
         wl = jnp.asarray(np.asarray(self.geom.hindex(self.h_out, w)))[
-            :, None, None]
-        valid = (j >= 0) & (j < wl)
-        jc = jnp.clip(j, 0, w - 1)
-        flat = (b * h + r) * w + jc
-        o = jnp.arange(cpn)[None, None, None, :]
-        cidx = (g[..., None] * cpn + o) * S + flat[..., None]
-        cidx = jnp.where(valid[..., None], cidx, G * cpn * S)
-        return cidx.reshape(-1)
+            :, None, None, None]
+        mask = (j == tgt) & (j < wl)                           # (np,h,w,C)
+        upd = jnp.where(mask[None, None],
+                        cells.transpose(1, 0, 2, 3, 4)[:, :, :, :, None, :],
+                        0.0)                                   # (B,3,np,h,w,C)
+        return buf + upd.reshape(buf.shape)
 
     # ------------------------------------------------------------------
     def _program_impl(self, weights, words, word_off, nbits, teacher,
@@ -234,9 +256,9 @@ class ScanWavefrontCodec:
         cpn, ng, R = self.cpn, self.ng, self.R
         C = G * cpn
 
-        bufs = [jnp.zeros((B, G, S), jnp.float32)]
+        bufs = [jnp.zeros((B, S, G), jnp.float32)]       # channel-last
         for _ in range(11):
-            bufs.append(jnp.zeros((B, 3, C, S), jnp.float32))
+            bufs.append(jnp.zeros((B, 3, S, C), jnp.float32))
         ac = device_ac.init_state(words, word_off, nbits)
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
@@ -246,42 +268,33 @@ class ScanWavefrontCodec:
               jnp.asarray(self.xs_in0), jnp.asarray(self.xs_m),
               jnp.asarray(self.xs_valid))
 
-        def scatter_cells(buf, cells, cidx):
-            # buf (B, 3, C, S); cells (3, B, npart, h, G, cpn)
-            v = cells.transpose(1, 0, 2, 3, 4, 5).reshape(B * 3, -1)
-            fb = buf.reshape(B * 3, C * S)
-            fb = jax.vmap(
-                lambda fbs, vv: fbs.at[cidx].add(vv, mode="drop"))(fb, v)
-            return fb.reshape(buf.shape)
-
         def body(carry, x):
             bufs, ac, out_plane, packed = carry
             z, grid_sel, plane_sel, in0_sel, m_sel, valid = x
 
-            cidx = self._cell_flat_idx(z)
             y0 = self._frontier_conv(bufs[0], z, weights[0])
-            bufs[1] = scatter_cells(bufs[1], y0, cidx)
+            bufs[1] = self._deposit(bufs[1], y0, z)
             ycells = y0
             for blk in range(5):
                 li = 1 + 2 * blk
                 c1 = self._frontier_conv(bufs[1 + 2 * blk], z, weights[li])
-                bufs[2 + 2 * blk] = scatter_cells(bufs[2 + 2 * blk], c1, cidx)
+                bufs[2 + 2 * blk] = self._deposit(bufs[2 + 2 * blk], c1, z)
                 c2 = self._frontier_conv(bufs[2 + 2 * blk], z,
                                          weights[li + 1])
                 ycells = ycells + c2
-                bufs[3 + 2 * blk] = scatter_cells(bufs[3 + 2 * blk], ycells,
-                                                  cidx)
+                bufs[3 + 2 * blk] = self._deposit(bufs[3 + 2 * blk], ycells,
+                                                  z)
             out = self._frontier_conv(bufs[11], z, weights[11])
             # CDF grid (B, G*h_out, 9): grid row = g*h_out + (b*h + r)
-            prm = out.transpose(0, 1, 4, 2, 3, 5).reshape(
-                3, B, G * self.h_out, ng)
+            prm = out.reshape(3, B, npart, h, G, ng).transpose(
+                0, 1, 4, 2, 3, 5).reshape(3, B, G * self.h_out, ng)
             tb = jax.vmap(
                 lambda ww, dd, mm: gmm_cdf_table(ww, dd, mm, NSTEP, BIAS,
                                                  TOTAL))(
                 prm[0], prm[1], prm[2])              # (B, NG, 9) int32
             tbu = tb.astype(jnp.uint32)
 
-            new_in0 = bufs[0].reshape(B, G * S)
+            new_in0 = bufs[0].reshape(B, S * G)
             for rr in range(R):
                 sl = slice(rr * L, (rr + 1) * L)
                 act_l = valid[sl]
@@ -306,7 +319,7 @@ class ScanWavefrontCodec:
                 packed = packed.at[:, m_sel[sl]].set(pk, mode="drop")
                 new_in0 = new_in0.at[:, in0_sel[sl]].set(
                     sy.astype(jnp.float32) - BIAS, mode="drop")
-            bufs[0] = new_in0.reshape(B, G, S)
+            bufs[0] = new_in0.reshape(B, S, G)
             return (bufs, ac, out_plane, packed), None
 
         (bufs, ac, out_plane, packed), _ = jax.lax.scan(

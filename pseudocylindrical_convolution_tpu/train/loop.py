@@ -60,9 +60,12 @@ def run(args):
     geom = cfg.geometry()
     lw = LossWeights(gamma=args.gamma, beta=args.beta, alpha=args.alpha,
                      clip=args.clip, viewport_size=args.viewport_size)
-    mesh = make_mesh()
-    ndev = mesh.devices.size
-    assert args.batch_size % ndev == 0 or args.batch_size >= ndev
+    # use at most batch_size devices so a small batch still shards evenly
+    # (e.g. batch 1 on an 8-device host runs on 1 device)
+    ndev = len(jax.devices())
+    while args.batch_size % ndev != 0:
+        ndev -= 1
+    mesh = make_mesh(ndev)
 
     params = cmpnet_init(jax.random.PRNGKey(args.seed), cfg)
     prefix = (f"ent_{'opt' if args.opt else 'normal'}_{args.channels}_"
