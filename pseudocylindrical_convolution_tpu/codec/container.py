@@ -12,7 +12,9 @@ Layout (big-endian):
   ver    u8   1
   mode   u8   0 = dense (codec/pipeline.py), 1 = scan (wavefront_scan.py)
   npart  u8
-  flags  u8   reserved
+  flags  u8   bit 0: scan program ran with bf16 activation buffers
+              (FLAG_BF16) -- streams are only decodable by the same-dtype
+              executable, so a mismatch must fail loudly
   vdim   u16  valid_dim
   h, w   u16  latent plane dims
   lanes  u16  scan mode only (0 for dense)
@@ -32,16 +34,17 @@ MAGIC = b"PC60"
 VERSION = 1
 MODE_DENSE = 0
 MODE_SCAN = 1
+FLAG_BF16 = 1
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 
 
 def write_stream(fname: str, mode: int, npart: int, valid_dim: int, h: int,
                  w: int, payload: bytes, lanes: int = 0, batch: int = 0,
-                 lane_nbytes=None) -> int:
+                 lane_nbytes=None, flags: int = 0) -> int:
     """Write header + payload; returns total file size in bytes."""
-    hdr = struct.pack(_FMT, MAGIC, VERSION, mode, npart, 0, valid_dim, h, w,
-                      lanes, batch, 0)
+    hdr = struct.pack(_FMT, MAGIC, VERSION, mode, npart, flags, valid_dim,
+                      h, w, lanes, batch, 0)
     body = b""
     if mode == MODE_SCAN:
         assert lanes and lane_nbytes is not None and len(lane_nbytes) == lanes
@@ -58,7 +61,7 @@ def read_stream(fname: str) -> dict:
         data = f.read()
     if len(data) < _HLEN or data[:4] != MAGIC:
         raise ValueError(f"{fname}: not a PC60 bitstream (bad magic)")
-    (magic, ver, mode, npart, _flags, vdim, h, w, lanes, batch,
+    (magic, ver, mode, npart, flags, vdim, h, w, lanes, batch,
      _pad) = struct.unpack(_FMT, data[:_HLEN])
     if ver != VERSION:
         raise ValueError(f"{fname}: unsupported container version {ver}")
@@ -70,7 +73,7 @@ def read_stream(fname: str) -> dict:
         off += 4 * lanes
     return {"mode": mode, "npart": npart, "valid_dim": vdim, "h": h, "w": w,
             "lanes": lanes, "batch": batch, "lane_nbytes": lane_nbytes,
-            "payload": data[off:]}
+            "flags": flags, "payload": data[off:]}
 
 
 def check_stream(hdr: dict, fname: str, mode: int, npart: int,

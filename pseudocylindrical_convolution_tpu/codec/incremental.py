@@ -284,21 +284,22 @@ class WavefrontCodec:
         bufs = self.init_buffers()
         out_syms = np.zeros(self.grid_idx.shape[0], np.int32)
         tables_async = []
-        prev_pos = np.zeros(maxlen, np.int64)
+        # CRITICAL: the step is dispatched asynchronously, and jax may read
+        # host numpy buffers lazily (zero-copy aliasing and/or deferred
+        # transfer). Never mutate a numpy array after passing it to the
+        # step -- allocate FRESH prev_* buffers every iteration instead.
+        prev_pos = np.zeros(maxlen, np.int32)
         prev_sym = np.zeros(maxlen, np.int32)
         prev_val = np.zeros(maxlen, bool)
         for z in range(self.nsteps):
             n = int(self.counts[z])
             o = self.offsets[z]
-            # jnp.array (NOT asarray): jax zero-copies suitably-aligned
-            # numpy buffers on CPU, and these arrays are mutated below
-            # while the async-dispatched step may still be reading them
             bufs, tb = self._step(weights, bufs,
-                                  (jnp.array(prev_pos.astype(np.int32)),
-                                   jnp.array(prev_sym),
-                                   jnp.array(prev_val)), z)
+                                  (jnp.asarray(prev_pos),
+                                   jnp.asarray(prev_sym),
+                                   jnp.asarray(prev_val)), z)
             if n == 0:
-                prev_val[:] = False
+                prev_val = np.zeros(maxlen, bool)
                 continue
             gsel = self.grid_idx[o: o + n]
             if decode:
@@ -313,9 +314,11 @@ class WavefrontCodec:
                 syms = teacher_plane.reshape(-1)[self.plane_idx[o: o + n]
                                                  ].astype(np.int32)
             out_syms[o: o + n] = syms
+            prev_pos = np.zeros(maxlen, np.int32)
+            prev_sym = np.zeros(maxlen, np.int32)
+            prev_val = np.zeros(maxlen, bool)
             prev_pos[:n] = self.plane_idx[o: o + n]
             prev_sym[:n] = syms
-            prev_val[:] = False
             prev_val[:n] = True
         if decode:
             plane = np.zeros(self.npart * self.G * self.h * self.w,

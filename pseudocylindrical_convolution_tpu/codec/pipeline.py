@@ -274,6 +274,10 @@ def decode_latents(ent_params, cfg: CMPNetConfig, geom: Geometry, h: int,
     planes_d = [jnp.zeros((1, geom.npart, cfg.ngroup, h, w), jnp.float32)
                 for _ in range(B)]
     out = np.zeros((B, flat.shape[0]), np.int32)
+    # CRITICAL: device calls are dispatched asynchronously and jax may read
+    # host numpy buffers lazily (zero-copy aliasing / deferred transfer).
+    # Never mutate a numpy array after passing it in -- the prev_* buffers
+    # are re-allocated fresh every step instead.
     prev_syms = np.zeros((B, maxlen), np.int32)
     prev_valid = np.zeros((B, maxlen), bool)
     prev_pad = np.zeros((B, maxlen), np.int32)
@@ -281,32 +285,31 @@ def decode_latents(ent_params, cfg: CMPNetConfig, geom: Geometry, h: int,
         n = int(counts[z])
         if n == 0:
             for b in range(B):
-                # jnp.array (NOT asarray): these numpy buffers are mutated
-                # below while the async dispatch may still be reading them
-                # (jax zero-copies aligned numpy on CPU)
                 planes_d[b] = _scatter_prev(
-                    planes_d[b], jnp.array(prev_pad[b:b + 1]),
-                    jnp.array(prev_syms[b:b + 1]),
-                    jnp.array(prev_valid[b:b + 1]))
-            prev_valid[:] = False
+                    planes_d[b], jnp.asarray(prev_pad[b:b + 1]),
+                    jnp.asarray(prev_syms[b:b + 1]),
+                    jnp.asarray(prev_valid[b:b + 1]))
+            prev_valid = np.zeros((B, maxlen), bool)
             continue
         futs = []
         for b in range(B):
             planes_d[b], step_tb = _decode_step_fused(
-                ent_params, planes_d[b], jnp.array(prev_pad[b:b + 1]),
-                jnp.array(prev_syms[b:b + 1]),
-                jnp.array(prev_valid[b:b + 1]), int(offsets[z]),
+                ent_params, planes_d[b], jnp.asarray(prev_pad[b:b + 1]),
+                jnp.asarray(prev_syms[b:b + 1]),
+                jnp.asarray(prev_valid[b:b + 1]), int(offsets[z]),
                 maxlen, cfg, geom)
             futs.append(step_tb)
         pad = np.zeros((B, maxlen), np.int32)
         pad[:, :n] = flat[offsets[z]: offsets[z] + n]
+        new_syms = np.zeros((B, maxlen), np.int32)
         for b in range(B):
             step_tb = _unpack_step_tables(np.asarray(futs[b])[0, :n])
             syms = coders[b].decodes(step_tb, NSTEP, n)
             out[b, offsets[z]: offsets[z] + n] = syms
-            prev_syms[b, :n] = syms
+            new_syms[b, :n] = syms
         prev_pad = pad
-        prev_valid[:] = False
+        prev_syms = new_syms
+        prev_valid = np.zeros((B, maxlen), bool)
         prev_valid[:, :n] = True
     planes = np.zeros((B, geom.npart * cfg.ngroup * h * w), np.float32)
     for b in range(B):

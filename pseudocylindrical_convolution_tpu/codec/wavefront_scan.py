@@ -84,9 +84,15 @@ class ScanWavefrontCodec:
 
     def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
-                 num_gaussian: int = 3):
+                 num_gaussian: int = 3, dtype=jnp.bfloat16):
+        """dtype: activation-buffer dtype. bf16 (default) halves the window
+        gather bytes (the measured per-step bottleneck); the conv still
+        accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
+        per-executable either way (the stream header records the profile,
+        container.FLAG_BF16)."""
         self.cfg, self.geom, self.h, self.w = cfg, geom, h, w
         self.B, self.L = batch, lanes
+        self.dtype = jnp.dtype(dtype)
         self.cpn, self.ng = cpn, num_gaussian
         G = cfg.ngroup
         npart = geom.npart
@@ -155,7 +161,7 @@ class ScanWavefrontCodec:
         self._weights = [
             {"k": _shear_kernel(l["w"].reshape(
                 3, self.G * l["w"].shape[2], l["w"].shape[3], 5, 5))
-             .transpose(0, 3, 4, 2, 1),
+             .transpose(0, 3, 4, 2, 1).astype(self.dtype),
              "b": l["b"], "a": l["a"]}
             for l in layers]
 
@@ -169,7 +175,8 @@ class ScanWavefrontCodec:
         gather fetches contiguous C-rows (vector-lane axis), which is the
         fast gather shape on TPU."""
         idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
-        idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np)
+        idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np.astype(
+            self.dtype))
         G, h, w, npart = self.G, self.h, self.w, self.npart
         T = G + 8
         b = jnp.arange(npart)[:, None, None]
@@ -180,11 +187,23 @@ class ScanWavefrontCodec:
         cc = jnp.where(oob, w + 4, cp)                # sentinel column
         i0 = jnp.take_along_axis(idxp[0], cc, axis=2)
         w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)[..., None]
-        i1 = jnp.take_along_axis(idxp[1], cc, axis=2)
-        w1 = jnp.take_along_axis(wgtp[1], cc, axis=2)[..., None]
         axis = buf.ndim - 2                            # the S axis
-        return (jnp.take(buf, i0, axis=axis) * w0
-                + jnp.take(buf, i1, axis=axis) * w1)
+        win = jnp.take(buf, i0, axis=axis) * w0
+        # the second pad tap is only ever nonzero on the 4 vertical-pad
+        # rows (neighbour-band lerp); gather those rows alone -- the
+        # window gather is the measured per-step bottleneck
+        prow = np.r_[0:2, h + 2:h + 4]
+        ccp = cc[:, prow]
+        i1 = jnp.take_along_axis(idxp[1][:, prow], ccp, axis=2)
+        w1 = jnp.take_along_axis(wgtp[1][:, prow], ccp, axis=2)[..., None]
+        gp = jnp.take(buf, i1, axis=axis) * w1        # (..., npart, 4, T, C)
+        rsel = (buf.ndim - 2) + 1                      # pad-row axis in win
+        top = jax.lax.slice_in_dim(win, 0, 2, axis=rsel) \
+            + jax.lax.slice_in_dim(gp, 0, 2, axis=rsel)
+        mid = jax.lax.slice_in_dim(win, 2, h + 2, axis=rsel)
+        bot = jax.lax.slice_in_dim(win, h + 2, h + 4, axis=rsel) \
+            + jax.lax.slice_in_dim(gp, 2, 4, axis=rsel)
+        return jnp.concatenate([top, mid, bot], axis=rsel)
 
     def _frontier_conv(self, buf, z, layer):
         """One layer's new frontier cells via the sheared-kernel conv.
@@ -238,9 +257,9 @@ class ScanWavefrontCodec:
         wl = jnp.asarray(np.asarray(self.geom.hindex(self.h_out, w)))[
             :, None, None, None]
         mask = (j == tgt) & (j < wl)                           # (np,h,w,C)
-        upd = jnp.where(mask[None, None],
-                        cells.transpose(1, 0, 2, 3, 4)[:, :, :, :, None, :],
-                        0.0)                                   # (B,3,np,h,w,C)
+        cellsT = cells.transpose(1, 0, 2, 3, 4).astype(buf.dtype)
+        upd = jnp.where(mask[None, None], cellsT[:, :, :, :, None, :],
+                        jnp.zeros((), buf.dtype))              # (B,3,np,h,w,C)
         return buf + upd.reshape(buf.shape)
 
     # ------------------------------------------------------------------
@@ -256,9 +275,9 @@ class ScanWavefrontCodec:
         cpn, ng, R = self.cpn, self.ng, self.R
         C = G * cpn
 
-        bufs = [jnp.zeros((B, S, G), jnp.float32)]       # channel-last
+        bufs = [jnp.zeros((B, S, G), self.dtype)]        # channel-last
         for _ in range(11):
-            bufs.append(jnp.zeros((B, 3, S, C), jnp.float32))
+            bufs.append(jnp.zeros((B, 3, S, C), self.dtype))
         ac = device_ac.init_state(words, word_off, nbits)
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
@@ -318,7 +337,8 @@ class ScanWavefrontCodec:
                     sy, mode="drop")
                 packed = packed.at[:, m_sel[sl]].set(pk, mode="drop")
                 new_in0 = new_in0.at[:, in0_sel[sl]].set(
-                    sy.astype(jnp.float32) - BIAS, mode="drop")
+                    (sy.astype(jnp.float32) - BIAS).astype(self.dtype),
+                    mode="drop")
             bufs[0] = new_in0.reshape(B, S, G)
             return (bufs, ac, out_plane, packed), None
 
@@ -362,12 +382,13 @@ class ScanWavefrontCodec:
         slots are dropped). Returns file sizes."""
         from pseudocylindrical_convolution_tpu.codec import container
         streams = self.encode_planes(planes)
+        flags = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
         sizes = []
         for (payload, lane_nbytes), fn in zip(streams, fnames):
             sizes.append(container.write_stream(
                 fn, container.MODE_SCAN, self.npart, self.cfg.valid_dim,
                 self.h, self.w, payload, lanes=self.L, batch=self.B,
-                lane_nbytes=lane_nbytes))
+                lane_nbytes=lane_nbytes, flags=flags))
         return sizes
 
     def decode_files(self, fnames):
@@ -383,6 +404,12 @@ class ScanWavefrontCodec:
                     f"{fn}: stream was encoded for a (batch={hdr['batch']}, "
                     f"lanes={hdr['lanes']}) executable, decoder is "
                     f"(batch={self.B}, lanes={self.L})")
+            want_flags = (container.FLAG_BF16
+                          if self.dtype == jnp.bfloat16 else 0)
+            if hdr.get("flags", 0) != want_flags:
+                raise ValueError(
+                    f"{fn}: stream profile flags {hdr.get('flags', 0)} do "
+                    f"not match this decoder's dtype {self.dtype}")
             streams.append((hdr["payload"], hdr["lane_nbytes"]))
         return self.decode_streams(streams)
 
@@ -428,11 +455,13 @@ _CODEC_CACHE = {}
 
 
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
-                   batch: int, lanes: int) -> ScanWavefrontCodec:
-    key = (cfg, geom, h, w, batch, lanes)
+                   batch: int, lanes: int,
+                   dtype=jnp.bfloat16) -> ScanWavefrontCodec:
+    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype))
     codec = _CODEC_CACHE.get(key)
     if codec is None:
-        codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes)
+        codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes,
+                                   dtype=dtype)
         _CODEC_CACHE[key] = codec
     return codec
 
@@ -479,8 +508,11 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     hdr0 = container.read_stream(fnames[0])
     container.check_stream(hdr0, fnames[0], container.MODE_SCAN, geom.npart,
                            cfg.valid_dim, h, w)
+    dtype = (jnp.bfloat16 if hdr0.get("flags", 0) & container.FLAG_BF16
+             else jnp.float32)
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
-                                     int(hdr0["lanes"])), params["ent"])
+                                     int(hdr0["lanes"]), dtype=dtype),
+                      params["ent"])
     recs = []
     for o in range(0, len(fnames), codec.B):
         planes = codec.decode_files(fnames[o:o + codec.B])

@@ -28,7 +28,9 @@ def setup():
     cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=4)
     geom = cfg.geometry()
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
-    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L)
+    # fp32 profile: required by the dense-table equality contract below
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32)
     codec.prepare(params["ent"])
     hindex = geom.hindex(H * 4, W)
     mask = np.zeros((4, cfg.ngroup, H, W), bool)
@@ -37,9 +39,17 @@ def setup():
     return cfg, geom, params, codec, mask
 
 
-def test_roundtrip_and_slot_decode(setup):
-    cfg, geom, params, codec, mask = setup
-    rng = np.random.default_rng(0)
+@pytest.fixture(scope="module")
+def setup_bf16(setup):
+    cfg, geom, params, _, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.bfloat16)
+    codec.prepare(params["ent"])
+    return cfg, geom, params, codec, mask
+
+
+def _roundtrip(cfg, codec, mask, seed=0):
+    rng = np.random.default_rng(seed)
     planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
     streams = codec.encode_planes(planes)
     dec = codec.decode_streams(streams)
@@ -53,6 +63,18 @@ def test_roundtrip_and_slot_decode(setup):
     dec_r = codec.decode_streams([streams[1], streams[0]])
     assert ((dec_r[0] == planes[1]) | ~mask).all()
     assert ((dec_r[1] == planes[0]) | ~mask).all()
+
+
+def test_roundtrip_and_slot_decode(setup):
+    cfg, geom, params, codec, mask = setup
+    _roundtrip(cfg, codec, mask)
+
+
+def test_roundtrip_bf16_profile(setup_bf16):
+    """The bf16 activation profile (the default, container.FLAG_BF16) must
+    round-trip bit-exactly too -- bit-exactness is per-executable."""
+    cfg, geom, params, codec, mask = setup_bf16
+    _roundtrip(cfg, codec, mask, seed=7)
 
 
 def test_scan_tables_match_dense_program(setup):

@@ -76,65 +76,45 @@ def main():
     timeit("full", lambda: codec._run(zwords, zoff, znb, teacher,
                                       decode=False))
 
-    # ---- variants of the network-only scan ----
-    def make_net_scan(use_scatter=True, use_gather=True, use_conv=True):
+    # ---- variants of the network-only scan (channel-last layout) ----
+    def make_net_scan(use_deposit=True, use_conv=True):
         weights = codec._weights
 
         def prog():
-            bufs = [jnp.zeros((B, G, S), jnp.float32)]
+            bufs = [jnp.zeros((B, S, G), jnp.float32)]
             for _ in range(11):
-                bufs.append(jnp.zeros((B, 3, C, S), jnp.float32))
+                bufs.append(jnp.zeros((B, 3, S, C), jnp.float32))
 
-            def scatter_cells(buf, cells, cidx):
-                if not use_scatter:
+            def deposit(buf, cells, z):
+                if not use_deposit:
                     return buf + 1e-12 * jnp.sum(cells)
-                v = cells.transpose(1, 0, 2, 3, 4, 5).reshape(B * 3, -1)
-                fb = buf.reshape(B * 3, C * S)
-                fb = jax.vmap(
-                    lambda fbs, vv: fbs.at[cidx].add(vv, mode="drop"))(fb, v)
-                return fb.reshape(buf.shape)
+                return codec._deposit(buf, cells, z)
 
             def fconv(buf, z, layer):
-                if not use_gather:
-                    T = G + 8
-                    win = jnp.zeros((B, 3, C, npart, h + 4, T), jnp.float32) \
-                        + (1e-12 * buf.ravel()[0])
-                    save = codec._window
-                    codec._window = lambda b_, z_: win if b_.ndim == 4 \
-                        else win[:, 0, :G]
-                    try:
-                        out = codec._frontier_conv(
-                            win if buf.ndim == 4 else buf, z, layer)
-                    finally:
-                        codec._window = save
-                    return out
                 if not use_conv:
                     win = codec._window(buf, z)
                     if win.ndim == 5:
                         win = jnp.broadcast_to(win[:, None],
                                                (B, 3) + win.shape[1:])
-                    cout = layer["k"].shape[1] // G
-                    red = jnp.sum(win, axis=(2, 5)) * 1e-12  # (B,3,npart,h+4)
-                    out = jnp.zeros((3, B, npart, h, G, cout), jnp.float32)
-                    return out + red[:, :, :, :h].transpose(
-                        1, 0, 2, 3)[..., None, None]
+                    cout_full = layer["k"].shape[-1]
+                    red = jnp.sum(win, axis=(3, 4)) * 1e-12  # (B,3,np,C)
+                    out = jnp.zeros((3, B, npart, h, cout_full), jnp.float32)
+                    return out + red.transpose(1, 0, 2, 3)[
+                        :, :, :, None, :1]
                 return codec._frontier_conv(buf, z, layer)
 
             def body(carry, z):
                 bufs = carry
-                cidx = codec._cell_flat_idx(z)
                 y0 = fconv(bufs[0], z, weights[0])
-                bufs[1] = scatter_cells(bufs[1], y0, cidx)
+                bufs[1] = deposit(bufs[1], y0, z)
                 ycells = y0
                 for blk in range(5):
                     li = 1 + 2 * blk
                     c1 = fconv(bufs[1 + 2 * blk], z, weights[li])
-                    bufs[2 + 2 * blk] = scatter_cells(bufs[2 + 2 * blk], c1,
-                                                      cidx)
+                    bufs[2 + 2 * blk] = deposit(bufs[2 + 2 * blk], c1, z)
                     c2 = fconv(bufs[2 + 2 * blk], z, weights[li + 1])
                     ycells = ycells + c2
-                    bufs[3 + 2 * blk] = scatter_cells(bufs[3 + 2 * blk],
-                                                      ycells, cidx)
+                    bufs[3 + 2 * blk] = deposit(bufs[3 + 2 * blk], ycells, z)
                 out = fconv(bufs[11], z, weights[11])
                 return bufs, jnp.sum(out)
 
@@ -144,9 +124,9 @@ def main():
 
         return jax.jit(prog)
 
-    timeit("netonly", make_net_scan(True, True, True))
-    timeit("noscatter", make_net_scan(False, True, True))
-    timeit("noconv", make_net_scan(True, True, False))
+    timeit("netonly", make_net_scan(True, True))
+    timeit("nodeposit", make_net_scan(False, True))
+    timeit("noconv", make_net_scan(True, False))
 
     # ---- AC rounds only ----
     R = codec.R
