@@ -47,3 +47,6 @@ def test_geometry_hashable_cached():
     g2 = Geometry(npart=16, opt=True, config_file="/nonexistent")
     assert hash(g1) == hash(g2)
     assert g1.hindex(512, 1024) is g2.hindex(512, 1024)
+
+import pytest
+pytestmark = pytest.mark.quick
