@@ -314,17 +314,24 @@ class ScanWavefrontCodec:
             tbu = tb.astype(jnp.uint32)
 
             new_in0 = bufs[0].reshape(B, S * G)
-            for rr in range(R):
-                sl = slice(rr * L, (rr + 1) * L)
-                act_l = valid[sl]
+            nrounds = (jnp.sum(valid.astype(jnp.int32)) + (L - 1)) // L
+
+            def round_body(st):
+                rr, ac, out_plane, packed, new_in0 = st
+                off = rr * L
+                sl_g = jax.lax.dynamic_slice(grid_sel, (off,), (L,))
+                sl_p = jax.lax.dynamic_slice(plane_sel, (off,), (L,))
+                sl_i = jax.lax.dynamic_slice(in0_sel, (off,), (L,))
+                sl_m = jax.lax.dynamic_slice(m_sel, (off,), (L,))
+                act_l = jax.lax.dynamic_slice(valid, (off,), (L,))
                 actB = jnp.broadcast_to(act_l[None], (B, L))
-                cdf = tbu[:, grid_sel[sl]]           # (B, L, 9)
+                cdf = tbu[:, sl_g]                   # (B, L, 9)
 
                 def dec(ac_):
                     return device_ac.decode_symbols(ac_, words, cdf, actB)
 
                 def tea(ac_):
-                    tsy = teacher[:, jnp.minimum(plane_sel[sl], P - 1)]
+                    tsy = teacher[:, jnp.minimum(sl_p, P - 1)]
                     return ac_, jnp.where(actB, tsy, 0)
 
                 ac, sy = jax.lax.cond(decode_flag, dec, tea, ac)
@@ -333,12 +340,19 @@ class ScanWavefrontCodec:
                 highv = jnp.take_along_axis(cdf, sy[..., None].astype(
                     jnp.int32) + 1, axis=-1)[..., 0]
                 pk = lowv | ((highv - jnp.uint32(1)) << jnp.uint32(16))
-                out_plane = out_plane.at[:, plane_sel[sl]].set(
-                    sy, mode="drop")
-                packed = packed.at[:, m_sel[sl]].set(pk, mode="drop")
-                new_in0 = new_in0.at[:, in0_sel[sl]].set(
+                out_plane = out_plane.at[:, sl_p].set(sy, mode="drop")
+                packed = packed.at[:, sl_m].set(pk, mode="drop")
+                new_in0 = new_in0.at[:, sl_i].set(
                     (sy.astype(jnp.float32) - BIAS).astype(self.dtype),
                     mode="drop")
+                return rr + 1, ac, out_plane, packed, new_in0
+
+            # dynamic round count: steps average ~half the worst-case
+            # symbol count, so a while_loop halves the AC-section cost
+            # vs a static R-round unroll
+            _, ac, out_plane, packed, new_in0 = jax.lax.while_loop(
+                lambda st: st[0] < nrounds, round_body,
+                (jnp.int32(0), ac, out_plane, packed, new_in0))
             bufs[0] = new_in0.reshape(B, S, G)
             return (bufs, ac, out_plane, packed), None
 
