@@ -13,10 +13,9 @@ import jax
 from pseudocylindrical_convolution_tpu.geometry import Geometry
 from pseudocylindrical_convolution_tpu.models.layers import (
     conv2d, conv_init, prelu, prelu_init, sigmoid)
+from pseudocylindrical_convolution_tpu.ops.bandctx import as_band_ctx
 from pseudocylindrical_convolution_tpu.ops.dtow import dtow
-from pseudocylindrical_convolution_tpu.ops.fill import pseudo_fill
-from pseudocylindrical_convolution_tpu.ops.gdn import gdn_apply, gdn_init
-from pseudocylindrical_convolution_tpu.ops.pad import pseudo_pad
+from pseudocylindrical_convolution_tpu.ops.gdn import gdn_init
 
 
 def _keys(key, n):
@@ -34,12 +33,13 @@ def residual_block_init(key, ch):
             "conv3": conv_init(k[2], ch // 2, ch, 1)}
 
 
-def residual_block_apply(p, x, geom: Geometry, dtype=None):
-    tx = pseudo_pad(x, geom, 1)
+def residual_block_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
+    tx = ctx.pad(x, 1)
     y = prelu(p["relu1"], conv2d(p["conv1"], tx, dtype=dtype))
     y = prelu(p["relu2"], conv2d(p["conv2"], y, dtype=dtype))
     y = conv2d(p["conv3"], y, dtype=dtype)
-    return pseudo_fill(x + y, geom)
+    return ctx.fill(x + y)
 
 
 # ---------------- AttentionBlock (:55-76) ----------------
@@ -52,7 +52,8 @@ def attention_block_init(key, ch):
                 "3": conv_init(k[6], ch, ch, 1)}}
 
 
-def attention_block_apply(p, x, geom: Geometry, dtype=None):
+def attention_block_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
     t = x
     for i in range(3):
         t = residual_block_apply(p["trunk"][str(i)], t, geom, dtype)
@@ -60,7 +61,7 @@ def attention_block_apply(p, x, geom: Geometry, dtype=None):
     for i in range(3):
         a = residual_block_apply(p["attention"][str(i)], a, geom, dtype)
     a = sigmoid(conv2d(p["attention"]["3"], a, dtype=dtype))
-    return pseudo_fill(x + t * a, geom)
+    return ctx.fill(x + t * a)
 
 
 # ---------------- ResidualBlockV2 (:78-93) ----------------
@@ -71,11 +72,12 @@ def residual_block_v2_init(key, ch):
             "conv2": conv_init(k[1], ch, ch, 3), "relu2": prelu_init(ch)}
 
 
-def residual_block_v2_apply(p, x, geom: Geometry, dtype=None):
-    tx = pseudo_pad(x, geom, 2)
+def residual_block_v2_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
+    tx = ctx.pad(x, 2)
     y = prelu(p["relu1"], conv2d(p["conv1"], tx, dtype=dtype))
     y = prelu(p["relu2"], conv2d(p["conv2"], y, dtype=dtype))
-    return pseudo_fill(x + y, geom)
+    return ctx.fill(x + y)
 
 
 # ---------------- ResidualBlockDown (:95-114) ----------------
@@ -87,14 +89,14 @@ def residual_block_down_init(key, ch, cin):
             "short_cut": conv_init(k[2], cin, ch, 1)}
 
 
-def residual_block_down_apply(p, x, geom: Geometry, dtype=None):
+def residual_block_down_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
     t = conv2d(p["short_cut"], x, stride=2, dtype=dtype)
-    y = pseudo_pad(x, geom, 1)
+    y = ctx.pad(x, 1)
     y = prelu(p["relu1"], conv2d(p["conv1"], y, stride=2, dtype=dtype))
-    y = pseudo_pad(y, geom, 1)
-    y = gdn_apply(p["relu2"], conv2d(p["conv2"], y, dtype=dtype), geom,
-                  dtype=dtype)
-    return pseudo_fill(t + y, geom)
+    y = ctx.pad(y, 1)
+    y = ctx.gdn(p["relu2"], conv2d(p["conv2"], y, dtype=dtype), dtype=dtype)
+    return ctx.fill(t + y)
 
 
 # ---------------- SphereConv2 (:116-126) ----------------
@@ -103,10 +105,11 @@ def sphere_conv2_init(key, cin, cout):
     return {"conv": conv_init(key, cin, cout, 3)}
 
 
-def sphere_conv2_apply(p, x, geom: Geometry, dtype=None):
-    x = pseudo_pad(x, geom, 1)
+def sphere_conv2_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
+    x = ctx.pad(x, 1)
     x = conv2d(p["conv"], x, stride=2, dtype=dtype)
-    return pseudo_fill(x, geom)
+    return ctx.fill(x)
 
 
 # ---------------- EncoderV2 (:129-151) ----------------
@@ -127,7 +130,8 @@ def encoder_init(key, channels=192, code_channels=192):
     }}
 
 
-def encoder_apply(p, x, geom: Geometry, dtype=None):
+def encoder_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
     n = p["net"]
     x = residual_block_down_apply(n["0"], x, geom, dtype)
     x = residual_block_v2_apply(n["1"], x, geom, dtype)
@@ -139,7 +143,7 @@ def encoder_apply(p, x, geom: Geometry, dtype=None):
     x = sphere_conv2_apply(n["7"], x, geom, dtype)
     x = attention_block_apply(n["8"], x, geom, dtype)
     x = conv2d(n["9"], x, dtype=dtype)
-    return pseudo_fill(sigmoid(x), geom)
+    return ctx.fill(sigmoid(x))
 
 
 # ---------------- ResidualBlockUp (:153-175) ----------------
@@ -151,15 +155,16 @@ def residual_block_up_init(key, ch):
             "short_cut": conv_init(k[2], ch, ch * 4, 1)}
 
 
-def residual_block_up_apply(p, x, geom: Geometry, dtype=None):
-    br1 = pseudo_pad(x, geom, 1)
+def residual_block_up_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
+    br1 = ctx.pad(x, 1)
     br1 = prelu(p["relu1"], conv2d(p["conv1"], br1, dtype=dtype))
     br1 = dtow(br1, 2, True)
-    br1 = pseudo_pad(br1, geom, 1)
-    br1 = gdn_apply(p["relu2"], conv2d(p["conv2"], br1, dtype=dtype), geom,
-                    inverse=True, dtype=dtype)
+    br1 = ctx.pad(br1, 1)
+    br1 = ctx.gdn(p["relu2"], conv2d(p["conv2"], br1, dtype=dtype),
+                  inverse=True, dtype=dtype)
     br2 = dtow(conv2d(p["short_cut"], x, dtype=dtype), 2, True)
-    return pseudo_fill(br1 + br2, geom)
+    return ctx.fill(br1 + br2)
 
 
 # ---------------- DecoderV2 (:189-211) ----------------
@@ -181,9 +186,10 @@ def decoder_init(key, channels=192, code_channels=192):
     }}
 
 
-def decoder_apply(p, x, geom: Geometry, dtype=None):
+def decoder_apply(p, x, geom, dtype=None):
+    ctx = as_band_ctx(geom)
     n = p["net"]
-    x = pseudo_fill(conv2d(n["0"]["conv"], x, dtype=dtype), geom)
+    x = ctx.fill(conv2d(n["0"]["conv"], x, dtype=dtype))
     x = attention_block_apply(n["1"], x, geom, dtype)
     x = residual_block_v2_apply(n["2"], x, geom, dtype)
     x = residual_block_up_apply(n["3"], x, geom, dtype)
@@ -193,6 +199,6 @@ def decoder_apply(p, x, geom: Geometry, dtype=None):
     x = residual_block_v2_apply(n["7"], x, geom, dtype)
     x = residual_block_up_apply(n["8"], x, geom, dtype)
     x = residual_block_v2_apply(n["9"], x, geom, dtype)
-    x = pseudo_pad(x, geom, 1)
+    x = ctx.pad(x, 1)
     x = conv2d(n["11"], x, dtype=dtype)
     return dtow(x, 2, True)

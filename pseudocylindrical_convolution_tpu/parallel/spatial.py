@@ -28,6 +28,101 @@ def make_band_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("band",))
 
 
+def band_sharded_encode_halo(params, cfg: CMPNetConfig, geom: Geometry,
+                             mesh: Mesh):
+    """Hand-tuned band-parallel encode: shard_map + ppermute halo exchange.
+
+    Unlike ``band_sharded_encode`` (GSPMD auto-collectives around global
+    gathers), every pseudo_pad here exchanges exactly ``pad`` boundary rows
+    with each ring neighbour over ICI (ops/bandctx.LocalBands) and all
+    gathers stay device-local. Returns a jitted fn(params, x) -> latent
+    symbols identical to the single-device ``cmpnet_encode_latents``.
+    """
+    from jax import shard_map
+
+    from pseudocylindrical_convolution_tpu.models.cmpnet import _code_mask
+    from pseudocylindrical_convolution_tpu.models.transform import (
+        encoder_apply)
+    from pseudocylindrical_convolution_tpu.ops.bandctx import LocalBands
+    from pseudocylindrical_convolution_tpu.ops.dtow import dtow
+    from pseudocylindrical_convolution_tpu.ops.quant import pseudo_quant
+    from pseudocylindrical_convolution_tpu.ops.slice import sphere_slice
+
+    nd = mesh.devices.size
+    assert geom.npart % nd == 0, "npart must divide the band mesh"
+    ctx = LocalBands(geom, nd, axis_name="band")
+
+    def local(params, tiles_l, qmask_l):
+        code = encoder_apply(params["encoder"], tiles_l, ctx, cfg._tdtype)
+        _, code_i, _ = pseudo_quant(code, params["quant"]["weight"], qmask_l,
+                                    cfg.top_alpha)
+        return dtow(code_i[:, : cfg.valid_dim], 2, True)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("band"), P("band")),
+        out_specs=P("band"), check_vma=False)
+
+    def fn(params, x):
+        assert x.shape[0] == 1, "spatial parallelism is single-image"
+        tiles = sphere_slice(x, geom)
+        h_code = tiles.shape[2] // 16
+        w_code = tiles.shape[3] // 16
+        qmask = _code_mask(geom, 1, h_code, w_code)
+        return sharded(params, tiles, qmask)
+
+    return jax.jit(fn)
+
+
+def band_sharded_decode_halo(params, cfg: CMPNetConfig, geom: Geometry,
+                             mesh: Mesh):
+    """Band-parallel latents -> image decode with explicit halo exchange.
+
+    The synthesis transform runs device-local over each band block (pads
+    exchange boundary rows via ppermute); tiles are all-gathered once at the
+    end for the band-crossing sphere_uslice + clip. Output matches
+    ``cmpnet_decode_latents`` exactly.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from pseudocylindrical_convolution_tpu.models.cmpnet import _code_mask
+    from pseudocylindrical_convolution_tpu.models.transform import (
+        decoder_apply)
+    from pseudocylindrical_convolution_tpu.ops.bandctx import LocalBands
+    from pseudocylindrical_convolution_tpu.ops.clip import clip_data
+    from pseudocylindrical_convolution_tpu.ops.dtow import dtow
+    from pseudocylindrical_convolution_tpu.ops.quant import pseudo_dquant
+    from pseudocylindrical_convolution_tpu.ops.slice import sphere_uslice
+
+    nd = mesh.devices.size
+    assert geom.npart % nd == 0, "npart must divide the band mesh"
+    ctx = LocalBands(geom, nd, axis_name="band")
+
+    def local(params, hcode_l, qmask_l):
+        code_i = dtow(hcode_l, 2, False)
+        code_ext = pseudo_dquant(
+            code_i, params["quant"]["weight"][: cfg.valid_dim], qmask_l)
+        pad_ch = cfg.code_channels - cfg.valid_dim
+        code_f = jnp.pad(code_ext, ((0, 0), (0, pad_ch), (0, 0), (0, 0)))
+        return decoder_apply(params["decoder"], code_f, ctx, cfg._tdtype)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("band"), P("band")),
+        out_specs=P("band"), check_vma=False)
+
+    def fn(params, hcode_i):
+        assert hcode_i.shape[0] == geom.npart, \
+            "spatial parallelism is single-image"
+        h2, w2 = hcode_i.shape[2] // 2, hcode_i.shape[3] // 2
+        qmask = _code_mask(geom, 1, h2, w2)
+        tx = sharded(params, hcode_i, qmask)
+        return clip_data(sphere_uslice(tx, geom))
+
+    return jax.jit(fn)
+
+
 def band_sharded_encode(params, cfg: CMPNetConfig, geom: Geometry,
                         mesh: Mesh):
     """Returns a jitted fn(params, x) -> latent symbols with the internal
