@@ -111,6 +111,27 @@ def test_scan_tables_match_dense_program(setup):
     assert mism <= 0.01 * B * codec.nsym
 
 
+def test_scan_wide_geometry_roundtrip():
+    """Scaling-shaped config: npart=8 bands, 4x32 latent tiles (66 wavefront
+    steps, ragged hindex across 8 bands). Covers the high-res scaling path's
+    geometry handling (SURVEY §5) at CPU-feasible size."""
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=8)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(2), cfg)
+    h, w = 4, 32
+    codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8)
+    codec.prepare(params["ent"])
+    hindex = geom.hindex(h * 8, w)
+    mask = np.zeros((8, cfg.ngroup, h, w), bool)
+    for b in range(8):
+        mask[b, :, :, :int(hindex[b])] = True
+    rng = np.random.default_rng(11)
+    planes = rng.integers(0, 8, (1, 8, cfg.ngroup, h, w)).astype(np.int32)
+    streams = codec.encode_planes(planes)
+    dec = codec.decode_streams(streams)
+    assert ((dec == planes) | ~mask[None]).all()
+
+
 def test_corrupt_stream_decodes_garbage_not_crash(setup):
     cfg, geom, params, codec, mask = setup
     rng = np.random.default_rng(5)
