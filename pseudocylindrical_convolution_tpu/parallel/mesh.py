@@ -34,4 +34,6 @@ def shard_train_step(step_fn, mesh: Mesh, train_ent: bool, axis: str = "data"):
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P()),
         check_vma=False)
-    return jax.jit(sharded)
+    # donate the train state: params + 3 optimizer states are the dominant
+    # HBM residents at flagship size; in-place update halves their footprint
+    return jax.jit(sharded, donate_argnums=(0,))
