@@ -62,6 +62,30 @@ from pseudocylindrical_convolution_tpu.codec.wavefront import (
 from pseudocylindrical_convolution_tpu.ops.gmm_table import gmm_cdf_table
 
 
+@functools.lru_cache(maxsize=None)
+def _skew_tables(geom: Geometry, h: int, w: int, G: int):
+    """Causal pad tables with sources remapped into the skewed-Y space.
+
+    Skewed layout stores interior cell (band b, row r, col j) at
+    [ys, b*h + r] with ys = (h*b + r + j) + (G - 1): the step-z frontier of
+    all groups is the contiguous ys-window [z, z+G), so the deposit becomes
+    a dynamic-slice read-modify-write instead of a full-buffer masked add.
+    Returns (idx, wgt) shaped like ``_static_tables``'s but with idx values
+    addressing the flattened ((nsteps+G) * npart * h) skewed buffer.
+    """
+    idxp, wgtp = _static_tables(geom, h, w)
+    npart = geom.npart
+    f = idxp.astype(np.int64)
+    b2 = f // (h * w)
+    r2 = (f // w) % h
+    j2 = f % w
+    ys = h * b2 + r2 + j2 + (G - 1)
+    sk = ys * (npart * h) + (b2 * h + r2)
+    sk = np.where(wgtp == 0, 0, sk).astype(np.int32)
+    sk.setflags(write=False)
+    return sk, wgtp
+
+
 def _shear_kernel(w):
     """(..., cout, cin, 5, 5) -> (..., cout, cin, 9, 5) sheared kernel.
 
@@ -84,14 +108,22 @@ class ScanWavefrontCodec:
 
     def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
-                 num_gaussian: int = 3, dtype=jnp.bfloat16):
+                 num_gaussian: int = 3, dtype=jnp.bfloat16,
+                 skew_layout: bool = False):
         """dtype: activation-buffer dtype. bf16 (default) halves the window
         gather bytes (the measured per-step bottleneck); the conv still
         accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
         per-executable either way (the stream header records the profile,
-        container.FLAG_BF16)."""
+        container.FLAG_BF16).
+
+        skew_layout: store layer activations in skewed-Y coordinates
+        ([y = row+col, band*h + row]) so the frontier deposit is a
+        G-slice dynamic update instead of a full-buffer masked add
+        (_skew_tables). Changes the compiled program, hence the stream
+        profile."""
         self.cfg, self.geom, self.h, self.w = cfg, geom, h, w
         self.B, self.L = batch, lanes
+        self.skew = bool(skew_layout)
         self.dtype = jnp.dtype(dtype)
         self.cpn, self.ng = cpn, num_gaussian
         G = cfg.ngroup
@@ -174,7 +206,11 @@ class ScanWavefrontCodec:
         (padded column coordinate). Returns (B[, 3], npart, h+4, T, C): the
         gather fetches contiguous C-rows (vector-lane axis), which is the
         fast gather shape on TPU."""
-        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        if self.skew and buf.ndim == 4:          # skewed layer buffer
+            idxp_np, wgtp_np = _skew_tables(self.geom, self.h, self.w,
+                                            self.G)
+        else:
+            idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
         idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np.astype(
             self.dtype))
         G, h, w, npart = self.G, self.h, self.w, self.npart
@@ -243,10 +279,17 @@ class ScanWavefrontCodec:
     def _deposit(self, buf, cells, z):
         """Add the step-z frontier cells into a channel-last layer buffer.
 
-        buf: (B, 3, S, C); cells: (3, B, npart, h, C). The write target of
-        channel c (group g) at tile row (b, r) is column j = z - g - (h*b+r);
-        expressed as an iota comparison the update is one streaming masked
-        add over the buffer -- far cheaper than an XLA scatter on TPU."""
+        Flat layout -- buf: (B, 3, S, C); cells: (3, B, npart, h, C). The
+        write target of channel c (group g) at tile row (b, r) is column
+        j = z - g - (h*b+r); expressed as an iota comparison the update is
+        one streaming masked add over the buffer -- far cheaper than an
+        XLA scatter on TPU.
+
+        Skewed layout -- buf: (B, 3, Ysz*npart*h, C): the frontier is the
+        contiguous ys-window [z, z+G), so the update is a G-slice
+        dynamic read-modify-write (~w/G times less traffic)."""
+        if self.skew:
+            return self._deposit_skewed(buf, cells, z)
         G, h, w, npart = self.G, self.h, self.w, self.npart
         C = buf.shape[-1]
         grp = jnp.asarray(np.arange(C) // (C // G))            # (C,)
@@ -262,6 +305,33 @@ class ScanWavefrontCodec:
                         jnp.zeros((), buf.dtype))              # (B,3,np,h,w,C)
         return buf + upd.reshape(buf.shape)
 
+    @property
+    def _ysz(self) -> int:
+        return self.nsteps + self.G
+
+    def _deposit_skewed(self, buf, cells, z):
+        G, h, npart, B = self.G, self.h, self.npart, self.B
+        NH = npart * h
+        C = buf.shape[-1]
+        bufv = buf.reshape(B, 3, self._ysz, NH, C)
+        blk = jax.lax.dynamic_slice_in_dim(bufv, z, G, axis=2)
+        # slot (dy, b*h+r, c of group g): holds frontier cell iff
+        # g == G-1-dy and j = z-(G-1)+dy - (h*b+r) is a valid column
+        grp = jnp.asarray(np.arange(C) // (C // G))            # (C,)
+        dy = jnp.arange(G)[:, None, None]
+        gr = jnp.arange(NH)[None, :, None]
+        j = (z - (G - 1)) + dy - gr                            # (G, NH, 1)
+        wl = jnp.asarray(np.repeat(
+            np.asarray(self.geom.hindex(self.h_out, self.w)), h))[
+            None, :, None]
+        mask = (grp[None, None] == (G - 1 - dy)) & (j >= 0) & (j < wl)
+        cellsv = cells.transpose(1, 0, 2, 3, 4).reshape(
+            B, 3, 1, NH, C).astype(buf.dtype)
+        blk = blk + jnp.where(mask[None, None], cellsv,
+                              jnp.zeros((), buf.dtype))
+        bufv = jax.lax.dynamic_update_slice_in_dim(bufv, blk, z, axis=2)
+        return bufv.reshape(buf.shape)
+
     # ------------------------------------------------------------------
     def _program_impl(self, weights, words, word_off, nbits, teacher,
                       decode_flag):
@@ -276,8 +346,9 @@ class ScanWavefrontCodec:
         C = G * cpn
 
         bufs = [jnp.zeros((B, S, G), self.dtype)]        # channel-last
+        layer_s = self._ysz * npart * h if self.skew else S
         for _ in range(11):
-            bufs.append(jnp.zeros((B, 3, S, C), self.dtype))
+            bufs.append(jnp.zeros((B, 3, layer_s, C), self.dtype))
         ac = device_ac.init_state(words, word_off, nbits)
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--lanes", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="skewed-Y layer buffers (A/B vs flat layout)")
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,8 @@ def main():
     H, W = args.hw
     h, w = H // geom.npart // 8, W // 8
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
-    codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=args.lanes)
+    codec = ScanWavefrontCodec(cfg, geom, h, w, batch=args.batch,
+                               lanes=args.lanes, skew_layout=args.skew)
     codec.prepare(params["ent"])
     B, L, G = codec.B, codec.L, codec.G
     npart, S, P = codec.npart, codec.S, codec.P
@@ -82,8 +86,9 @@ def main():
 
         def prog():
             bufs = [jnp.zeros((B, S, G), jnp.float32)]
+            ls = codec._ysz * npart * h if codec.skew else S
             for _ in range(11):
-                bufs.append(jnp.zeros((B, 3, S, C), jnp.float32))
+                bufs.append(jnp.zeros((B, 3, ls, C), jnp.float32))
 
             def deposit(buf, cells, z):
                 if not use_deposit:
