@@ -77,6 +77,28 @@ def run(args):
     if args.resume and os.path.exists(args.resume):
         params = load_params(args.resume)
         log.log(f"loaded {args.resume}")
+    elif args.init_from and os.path.exists(args.init_from):
+        # staged init (trainDDP_Full.py:88-95 init_with_trained_model):
+        # adopt every subtree whose leaf shapes match (e.g. encoder/decoder/
+        # quant from a different-rate checkpoint); keep fresh init elsewhere
+        # (the entropy net's shapes depend on valid_dim).
+        src = load_params(args.init_from)
+        kept, skipped = [], []
+        for key, sub in src.items():
+            if key not in params:
+                skipped.append(key)
+                continue
+            ok = (jax.tree_util.tree_structure(params[key])
+                  == jax.tree_util.tree_structure(sub))
+            if ok:
+                ok = jax.tree_util.tree_all(jax.tree.map(
+                    lambda a, b: np.shape(a) == np.shape(b),
+                    params[key], sub))
+            (kept if ok else skipped).append(key)
+            if ok:
+                params[key] = jax.tree.map(jnp.asarray, sub)
+        log.log(f"init from {args.init_from}: adopted {kept}, "
+                f"fresh {skipped}")
 
     state, tx_other, tx_ent = create_train_state(params, cfg, args.lr)
     step_fn = make_train_step(cfg, geom, lw, tx_other, tx_ent,
@@ -145,6 +167,10 @@ def build_argparser():
     p.add_argument("--difficulty-dict", type=str, default="")
     p.add_argument("--save-dir", type=str, default="./saved_models")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--init-from", type=str, default="",
+                   help="partial-init from a checkpoint: adopt shape-"
+                        "matching subtrees (staged training across rate "
+                        "points, trainDDP_Full.py:88-95)")
     return p
 
 
