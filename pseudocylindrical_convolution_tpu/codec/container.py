@@ -12,9 +12,10 @@ Layout (big-endian):
   ver    u8   1
   mode   u8   0 = dense (codec/pipeline.py), 1 = scan (wavefront_scan.py)
   npart  u8
-  flags  u8   bit 0: scan program ran with bf16 activation buffers
-              (FLAG_BF16) -- streams are only decodable by the same-dtype
-              executable, so a mismatch must fail loudly
+  flags  u8   bit 0 (FLAG_BF16): scan program ran with bf16 activation
+              buffers; bit 1 (FLAG_SKEW): skewed-Y layer-buffer layout.
+              Streams are only decodable by the same-profile executable,
+              so a mismatch must fail loudly
   vdim   u16  valid_dim
   h, w   u16  latent plane dims
   lanes  u16  scan mode only (0 for dense)
@@ -35,6 +36,7 @@ VERSION = 1
 MODE_DENSE = 0
 MODE_SCAN = 1
 FLAG_BF16 = 1
+FLAG_SKEW = 2
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 

@@ -468,6 +468,7 @@ class ScanWavefrontCodec:
         from pseudocylindrical_convolution_tpu.codec import container
         streams = self.encode_planes(planes)
         flags = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
+        flags |= container.FLAG_SKEW if self.skew else 0
         sizes = []
         for (payload, lane_nbytes), fn in zip(streams, fnames):
             sizes.append(container.write_stream(
@@ -491,10 +492,12 @@ class ScanWavefrontCodec:
                     f"(batch={self.B}, lanes={self.L})")
             want_flags = (container.FLAG_BF16
                           if self.dtype == jnp.bfloat16 else 0)
+            want_flags |= container.FLAG_SKEW if self.skew else 0
             if hdr.get("flags", 0) != want_flags:
                 raise ValueError(
                     f"{fn}: stream profile flags {hdr.get('flags', 0)} do "
-                    f"not match this decoder's dtype {self.dtype}")
+                    f"not match this decoder's profile {want_flags} "
+                    f"(dtype {self.dtype}, skew {self.skew})")
             streams.append((hdr["payload"], hdr["lane_nbytes"]))
         return self.decode_streams(streams)
 
@@ -538,15 +541,21 @@ class ScanWavefrontCodec:
 
 _CODEC_CACHE = {}
 
+# default layer-buffer layout for the image-level APIs (A/B'd on hardware;
+# see tools/prof_scan_ablate.py --skew and ARCHITECTURE.md §8)
+DEFAULT_SKEW = False
+
 
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
-                   batch: int, lanes: int,
-                   dtype=jnp.bfloat16) -> ScanWavefrontCodec:
-    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype))
+                   batch: int, lanes: int, dtype=jnp.bfloat16,
+                   skew: bool = None) -> ScanWavefrontCodec:
+    if skew is None:
+        skew = DEFAULT_SKEW
+    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype), bool(skew))
     codec = _CODEC_CACHE.get(key)
     if codec is None:
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes,
-                                   dtype=dtype)
+                                   dtype=dtype, skew_layout=skew)
         _CODEC_CACHE[key] = codec
     return codec
 
@@ -595,8 +604,10 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
                            cfg.valid_dim, h, w)
     dtype = (jnp.bfloat16 if hdr0.get("flags", 0) & container.FLAG_BF16
              else jnp.float32)
+    skew = bool(hdr0.get("flags", 0) & container.FLAG_SKEW)
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
-                                     int(hdr0["lanes"]), dtype=dtype),
+                                     int(hdr0["lanes"]), dtype=dtype,
+                                     skew=skew),
                       params["ent"])
     recs = []
     for o in range(0, len(fnames), codec.B):
