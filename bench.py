@@ -92,6 +92,29 @@ def main():
     enc_mps = mp * iters / t_enc
     dec_mps = mp * iters / t_dec
     combined = mp * iters / (t_enc + t_dec)
+
+    extra = {}
+    if os.environ.get("BENCH_HIGHRES"):
+        # BASELINE config 4: 2048x4096 (814 wavefront steps), single image
+        Hh, Wh = 2048, 4096
+        xh = jax.random.uniform(jax.random.PRNGKey(99), (1, 3, Hh, Wh),
+                                jnp.float32)
+        jax.block_until_ready(xh)
+        fn = "/tmp/bench_hr.bin"
+        scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)  # warm
+        t0 = time.perf_counter()
+        scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)
+        t_he = time.perf_counter() - t0
+        scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))       # warm
+        t0 = time.perf_counter()
+        scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))
+        t_hd = time.perf_counter() - t0
+        os.remove(fn)
+        mph = Hh * Wh / 1e6
+        extra = {"highres_encode_mps": round(mph / t_he, 4),
+                 "highres_decode_mps": round(mph / t_hd, 4),
+                 "highres_combined_mps": round(mph / (t_he + t_hd), 4)}
+
     print(json.dumps({
         "metric": "codec_throughput_512x1024_encdec",
         "value": round(combined, 4),
@@ -101,6 +124,7 @@ def main():
         "scan_decode_mps": round(dec_mps, 4),
         "dense_encode_mps": round(dense_mps, 4),
         "bpp": round(total_bytes * 8 / (H * W) / iters, 4),
+        **extra,
     }))
 
 
