@@ -13,7 +13,7 @@ Layout (big-endian):
   mode   u8   0 = dense (codec/pipeline.py), 1 = scan (wavefront_scan.py)
   npart  u8
   flags  u8   bit 0 (FLAG_BF16): scan program ran with bf16 activation
-              buffers; bit 1 (FLAG_SKEW): skewed-Y layer-buffer layout.
+              buffers; bit 1 reserved (was an experimental buffer layout).
               Streams are only decodable by the same-profile executable,
               so a mismatch must fail loudly
   vdim   u16  valid_dim
@@ -36,7 +36,6 @@ VERSION = 1
 MODE_DENSE = 0
 MODE_SCAN = 1
 FLAG_BF16 = 1
-FLAG_SKEW = 2
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 

@@ -62,30 +62,6 @@ from pseudocylindrical_convolution_tpu.codec.wavefront import (
 from pseudocylindrical_convolution_tpu.ops.gmm_table import gmm_cdf_table
 
 
-@functools.lru_cache(maxsize=None)
-def _skew_tables(geom: Geometry, h: int, w: int, G: int):
-    """Causal pad tables with sources remapped into the skewed-Y space.
-
-    Skewed layout stores interior cell (band b, row r, col j) at
-    [ys, b*h + r] with ys = (h*b + r + j) + (G - 1): the step-z frontier of
-    all groups is the contiguous ys-window [z, z+G), so the deposit becomes
-    a dynamic-slice read-modify-write instead of a full-buffer masked add.
-    Returns (idx, wgt) shaped like ``_static_tables``'s but with idx values
-    addressing the flattened ((nsteps+G) * npart * h) skewed buffer.
-    """
-    idxp, wgtp = _static_tables(geom, h, w)
-    npart = geom.npart
-    f = idxp.astype(np.int64)
-    b2 = f // (h * w)
-    r2 = (f // w) % h
-    j2 = f % w
-    ys = h * b2 + r2 + j2 + (G - 1)
-    sk = ys * (npart * h) + (b2 * h + r2)
-    sk = np.where(wgtp == 0, 0, sk).astype(np.int32)
-    sk.setflags(write=False)
-    return sk, wgtp
-
-
 def _shear_kernel(w):
     """(..., cout, cin, 5, 5) -> (..., cout, cin, 9, 5) sheared kernel.
 
@@ -108,22 +84,20 @@ class ScanWavefrontCodec:
 
     def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
-                 num_gaussian: int = 3, dtype=jnp.bfloat16,
-                 skew_layout: bool = False):
+                 num_gaussian: int = 3, dtype=jnp.bfloat16):
         """dtype: activation-buffer dtype. bf16 (default) halves the window
         gather bytes (the measured per-step bottleneck); the conv still
         accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
         per-executable either way (the stream header records the profile,
         container.FLAG_BF16).
 
-        skew_layout: store layer activations in skewed-Y coordinates
-        ([y = row+col, band*h + row]) so the frontier deposit is a
-        G-slice dynamic update instead of a full-buffer masked add
-        (_skew_tables). Changes the compiled program, hence the stream
-        profile."""
+        Layer buffers are flat channel-last (B, 3, S, C): skewed layouts
+        that turn the window gather / frontier write into dynamic slices
+        were A/B'd on hardware and LOST (ARCHITECTURE.md §8 ablation) --
+        XLA's masked streaming add is already free and dynamic slices on
+        non-major axes hit slow paths."""
         self.cfg, self.geom, self.h, self.w = cfg, geom, h, w
         self.B, self.L = batch, lanes
-        self.skew = bool(skew_layout)
         self.dtype = jnp.dtype(dtype)
         self.cpn, self.ng = cpn, num_gaussian
         G = cfg.ngroup
@@ -206,11 +180,7 @@ class ScanWavefrontCodec:
         (padded column coordinate). Returns (B[, 3], npart, h+4, T, C): the
         gather fetches contiguous C-rows (vector-lane axis), which is the
         fast gather shape on TPU."""
-        if self.skew and buf.ndim == 4:          # skewed layer buffer
-            idxp_np, wgtp_np = _skew_tables(self.geom, self.h, self.w,
-                                            self.G)
-        else:
-            idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
         idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np.astype(
             self.dtype))
         G, h, w, npart = self.G, self.h, self.w, self.npart
@@ -283,13 +253,8 @@ class ScanWavefrontCodec:
         write target of channel c (group g) at tile row (b, r) is column
         j = z - g - (h*b+r); expressed as an iota comparison the update is
         one streaming masked add over the buffer -- far cheaper than an
-        XLA scatter on TPU.
-
-        Skewed layout -- buf: (B, 3, Ysz*npart*h, C): the frontier is the
-        contiguous ys-window [z, z+G), so the update is a G-slice
-        dynamic read-modify-write (~w/G times less traffic)."""
-        if self.skew:
-            return self._deposit_skewed(buf, cells, z)
+        XLA scatter on TPU (and than dynamic-slice read-modify-writes;
+        both alternatives measured slower, ARCHITECTURE.md §8)."""
         G, h, w, npart = self.G, self.h, self.w, self.npart
         C = buf.shape[-1]
         grp = jnp.asarray(np.arange(C) // (C // G))            # (C,)
@@ -305,33 +270,6 @@ class ScanWavefrontCodec:
                         jnp.zeros((), buf.dtype))              # (B,3,np,h,w,C)
         return buf + upd.reshape(buf.shape)
 
-    @property
-    def _ysz(self) -> int:
-        return self.nsteps + self.G
-
-    def _deposit_skewed(self, buf, cells, z):
-        G, h, npart, B = self.G, self.h, self.npart, self.B
-        NH = npart * h
-        C = buf.shape[-1]
-        bufv = buf.reshape(B, 3, self._ysz, NH, C)
-        blk = jax.lax.dynamic_slice_in_dim(bufv, z, G, axis=2)
-        # slot (dy, b*h+r, c of group g): holds frontier cell iff
-        # g == G-1-dy and j = z-(G-1)+dy - (h*b+r) is a valid column
-        grp = jnp.asarray(np.arange(C) // (C // G))            # (C,)
-        dy = jnp.arange(G)[:, None, None]
-        gr = jnp.arange(NH)[None, :, None]
-        j = (z - (G - 1)) + dy - gr                            # (G, NH, 1)
-        wl = jnp.asarray(np.repeat(
-            np.asarray(self.geom.hindex(self.h_out, self.w)), h))[
-            None, :, None]
-        mask = (grp[None, None] == (G - 1 - dy)) & (j >= 0) & (j < wl)
-        cellsv = cells.transpose(1, 0, 2, 3, 4).reshape(
-            B, 3, 1, NH, C).astype(buf.dtype)
-        blk = blk + jnp.where(mask[None, None], cellsv,
-                              jnp.zeros((), buf.dtype))
-        bufv = jax.lax.dynamic_update_slice_in_dim(bufv, blk, z, axis=2)
-        return bufv.reshape(buf.shape)
-
     # ------------------------------------------------------------------
     def _program_impl(self, weights, words, word_off, nbits, teacher,
                       decode_flag):
@@ -346,9 +284,8 @@ class ScanWavefrontCodec:
         C = G * cpn
 
         bufs = [jnp.zeros((B, S, G), self.dtype)]        # channel-last
-        layer_s = self._ysz * npart * h if self.skew else S
         for _ in range(11):
-            bufs.append(jnp.zeros((B, 3, layer_s, C), self.dtype))
+            bufs.append(jnp.zeros((B, 3, S, C), self.dtype))
         ac = device_ac.init_state(words, word_off, nbits)
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
@@ -384,46 +321,58 @@ class ScanWavefrontCodec:
                 prm[0], prm[1], prm[2])              # (B, NG, 9) int32
             tbu = tb.astype(jnp.uint32)
 
-            new_in0 = bufs[0].reshape(B, S * G)
             nrounds = (jnp.sum(valid.astype(jnp.int32)) + (L - 1)) // L
 
+            # hoist everything that is not AC-state-sequential out of the
+            # round loop: ONE per-step CDF gather and (in teacher mode) ONE
+            # symbol gather up front; the loop only advances the AC state and
+            # stores each round's L symbols contiguously. Ablation showed the
+            # old 3-scatters-per-round dominated the AC section.
+            cdf_all = tbu[:, grid_sel]                       # (B, mlp, 9)
+            tsy_all = jnp.where(
+                jnp.broadcast_to(valid[None], (B, self.maxlenp)),
+                teacher[:, jnp.minimum(plane_sel, P - 1)], 0)
+            sy_all = jnp.zeros((B, self.maxlenp), jnp.uint32)
+
             def round_body(st):
-                rr, ac, out_plane, packed, new_in0 = st
+                rr, ac, sy_all = st
                 off = rr * L
-                sl_g = jax.lax.dynamic_slice(grid_sel, (off,), (L,))
-                sl_p = jax.lax.dynamic_slice(plane_sel, (off,), (L,))
-                sl_i = jax.lax.dynamic_slice(in0_sel, (off,), (L,))
-                sl_m = jax.lax.dynamic_slice(m_sel, (off,), (L,))
                 act_l = jax.lax.dynamic_slice(valid, (off,), (L,))
                 actB = jnp.broadcast_to(act_l[None], (B, L))
-                cdf = tbu[:, sl_g]                   # (B, L, 9)
+                cdf = jax.lax.dynamic_slice(
+                    cdf_all, (0, off, 0), (B, L, 9))
 
                 def dec(ac_):
-                    return device_ac.decode_symbols(ac_, words, cdf, actB)
+                    ac_, sy = device_ac.decode_symbols(ac_, words, cdf, actB)
+                    return ac_, sy.astype(jnp.uint32)
 
                 def tea(ac_):
-                    tsy = teacher[:, jnp.minimum(sl_p, P - 1)]
-                    return ac_, jnp.where(actB, tsy, 0)
+                    tsy = jax.lax.dynamic_slice(tsy_all, (0, off), (B, L))
+                    return ac_, tsy.astype(jnp.uint32)
 
                 ac, sy = jax.lax.cond(decode_flag, dec, tea, ac)
-                lowv = jnp.take_along_axis(cdf, sy[..., None].astype(
-                    jnp.int32), axis=-1)[..., 0]
-                highv = jnp.take_along_axis(cdf, sy[..., None].astype(
-                    jnp.int32) + 1, axis=-1)[..., 0]
-                pk = lowv | ((highv - jnp.uint32(1)) << jnp.uint32(16))
-                out_plane = out_plane.at[:, sl_p].set(sy, mode="drop")
-                packed = packed.at[:, sl_m].set(pk, mode="drop")
-                new_in0 = new_in0.at[:, sl_i].set(
-                    (sy.astype(jnp.float32) - BIAS).astype(self.dtype),
-                    mode="drop")
-                return rr + 1, ac, out_plane, packed, new_in0
+                sy_all = jax.lax.dynamic_update_slice(
+                    sy_all, sy.astype(jnp.uint32), (0, off))
+                return rr + 1, ac, sy_all
 
             # dynamic round count: steps average ~half the worst-case
             # symbol count, so a while_loop halves the AC-section cost
             # vs a static R-round unroll
-            _, ac, out_plane, packed, new_in0 = jax.lax.while_loop(
+            _, ac, sy_all = jax.lax.while_loop(
                 lambda st: st[0] < nrounds, round_body,
-                (jnp.int32(0), ac, out_plane, packed, new_in0))
+                (jnp.int32(0), ac, sy_all))
+
+            syi = sy_all.astype(jnp.int32)
+            lowv = jnp.take_along_axis(cdf_all, syi[..., None],
+                                       axis=-1)[..., 0]
+            highv = jnp.take_along_axis(cdf_all, syi[..., None] + 1,
+                                        axis=-1)[..., 0]
+            pk = lowv | ((highv - jnp.uint32(1)) << jnp.uint32(16))
+            out_plane = out_plane.at[:, plane_sel].set(syi, mode="drop")
+            packed = packed.at[:, m_sel].set(pk, mode="drop")
+            new_in0 = bufs[0].reshape(B, S * G).at[:, in0_sel].set(
+                (sy_all.astype(jnp.float32) - BIAS).astype(self.dtype),
+                mode="drop")
             bufs[0] = new_in0.reshape(B, S, G)
             return (bufs, ac, out_plane, packed), None
 
@@ -468,7 +417,6 @@ class ScanWavefrontCodec:
         from pseudocylindrical_convolution_tpu.codec import container
         streams = self.encode_planes(planes)
         flags = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
-        flags |= container.FLAG_SKEW if self.skew else 0
         sizes = []
         for (payload, lane_nbytes), fn in zip(streams, fnames):
             sizes.append(container.write_stream(
@@ -492,12 +440,11 @@ class ScanWavefrontCodec:
                     f"(batch={self.B}, lanes={self.L})")
             want_flags = (container.FLAG_BF16
                           if self.dtype == jnp.bfloat16 else 0)
-            want_flags |= container.FLAG_SKEW if self.skew else 0
             if hdr.get("flags", 0) != want_flags:
                 raise ValueError(
                     f"{fn}: stream profile flags {hdr.get('flags', 0)} do "
                     f"not match this decoder's profile {want_flags} "
-                    f"(dtype {self.dtype}, skew {self.skew})")
+                    f"(dtype {self.dtype})")
             streams.append((hdr["payload"], hdr["lane_nbytes"]))
         return self.decode_streams(streams)
 
@@ -541,21 +488,15 @@ class ScanWavefrontCodec:
 
 _CODEC_CACHE = {}
 
-# default layer-buffer layout for the image-level APIs (A/B'd on hardware;
-# see tools/prof_scan_ablate.py --skew and ARCHITECTURE.md §8)
-DEFAULT_SKEW = False
-
 
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
-                   batch: int, lanes: int, dtype=jnp.bfloat16,
-                   skew: bool = None) -> ScanWavefrontCodec:
-    if skew is None:
-        skew = DEFAULT_SKEW
-    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype), bool(skew))
+                   batch: int, lanes: int,
+                   dtype=jnp.bfloat16) -> ScanWavefrontCodec:
+    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype))
     codec = _CODEC_CACHE.get(key)
     if codec is None:
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes,
-                                   dtype=dtype, skew_layout=skew)
+                                   dtype=dtype)
         _CODEC_CACHE[key] = codec
     return codec
 
@@ -604,10 +545,8 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
                            cfg.valid_dim, h, w)
     dtype = (jnp.bfloat16 if hdr0.get("flags", 0) & container.FLAG_BF16
              else jnp.float32)
-    skew = bool(hdr0.get("flags", 0) & container.FLAG_SKEW)
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
-                                     int(hdr0["lanes"]), dtype=dtype,
-                                     skew=skew),
+                                     int(hdr0["lanes"]), dtype=dtype),
                       params["ent"])
     recs = []
     for o in range(0, len(fnames), codec.B):

@@ -111,23 +111,6 @@ def test_scan_tables_match_dense_program(setup):
     assert mism <= 0.01 * B * codec.nsym
 
 
-def test_skew_layout_matches_flat(setup):
-    """The skewed-Y buffer layout (deposit = G-slice dynamic update) must
-    round-trip bit-exactly and, in fp32, produce the same streams as the
-    flat layout (identical arithmetic, different memory layout)."""
-    cfg, geom, params, flat_codec, mask = setup
-    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
-                               dtype=jnp.float32, skew_layout=True)
-    codec.prepare(params["ent"])
-    rng = np.random.default_rng(0)
-    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
-    streams_s = codec.encode_planes(planes)
-    dec = codec.decode_streams(streams_s)
-    assert ((dec == planes) | ~mask[None]).all()
-    streams_f = flat_codec.encode_planes(planes)
-    assert all(a[0] == b[0] for a, b in zip(streams_f, streams_s))
-
-
 def test_scan_wide_geometry_roundtrip():
     """Scaling-shaped config: npart=8 bands, 4x32 latent tiles (66 wavefront
     steps, ragged hindex across 8 bands). Covers the high-res scaling path's

@@ -29,8 +29,6 @@ def main():
     ap.add_argument("--lanes", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--skew", action="store_true",
-                    help="skewed-Y layer buffers (A/B vs flat layout)")
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
@@ -52,7 +50,7 @@ def main():
     h, w = H // geom.npart // 8, W // 8
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
     codec = ScanWavefrontCodec(cfg, geom, h, w, batch=args.batch,
-                               lanes=args.lanes, skew_layout=args.skew)
+                               lanes=args.lanes)
     codec.prepare(params["ent"])
     B, L, G = codec.B, codec.L, codec.G
     npart, S, P = codec.npart, codec.S, codec.P
@@ -85,14 +83,13 @@ def main():
         weights = codec._weights
 
         def prog():
-            bufs = [jnp.zeros((B, S, G), jnp.float32)]
-            ls = codec._ysz * npart * h if codec.skew else S
+            bufs = [jnp.zeros((B, S, G), codec.dtype)]
             for _ in range(11):
-                bufs.append(jnp.zeros((B, 3, ls, C), jnp.float32))
+                bufs.append(jnp.zeros((B, 3, S, C), codec.dtype))
 
             def deposit(buf, cells, z):
                 if not use_deposit:
-                    return buf + 1e-12 * jnp.sum(cells)
+                    return buf + (1e-12 * jnp.sum(cells)).astype(buf.dtype)
                 return codec._deposit(buf, cells, z)
 
             def fconv(buf, z, layer):
@@ -103,7 +100,8 @@ def main():
                                                (B, 3) + win.shape[1:])
                     cout_full = layer["k"].shape[-1]
                     red = jnp.sum(win, axis=(3, 4)) * 1e-12  # (B,3,np,C)
-                    out = jnp.zeros((3, B, npart, h, cout_full), jnp.float32)
+                    out = jnp.zeros((3, B, npart, h, cout_full),
+                                    jnp.float32)
                     return out + red.transpose(1, 0, 2, 3)[
                         :, :, :, None, :1]
                 return codec._frontier_conv(buf, z, layer)
