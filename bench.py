@@ -72,7 +72,9 @@ def main():
         os.remove(fn)
 
     # ---- scan codec: encode then decode (structural bit-exactness) ----
-    batch = 4
+    # batch=1 measured fastest per image (the scan step is compute-bound);
+    # chunks pipeline: device chunk k+1 overlaps host AC packing of chunk k
+    batch = 1
     scan_encode_images(params, images[:1], cfg, geom, ["/tmp/bench_warm.bin"],
                        batch=batch)                      # compile + warm
     t0 = time.perf_counter()
@@ -123,6 +125,12 @@ def main():
         "scan_encode_mps": round(enc_mps, 4),
         "scan_decode_mps": round(dec_mps, 4),
         "dense_encode_mps": round(dense_mps, 4),
+        # BASELINE.json north star: ">=5x encode megapixels/s on a single
+        # v5e chip" vs the CUDA reference; ref encode runs the same
+        # 238-step wavefront loop as decode (~0.52 MP/s at the generous
+        # 4 ms/step estimate), so the target is 2.6 MP/s
+        "northstar_encode_5x_met": bool(dense_mps >= 5 * (2 * REF_CODEC_MPS)),
+        "encode_vs_ref": round(dense_mps / (REF_CODEC_MPS * 2), 2),
         "bpp": round(total_bytes * 8 / (H * W) / iters, 4),
         **extra,
     }))

@@ -95,7 +95,7 @@ def _write_image(path: str, data):
 
 
 def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0,
-             mode="scan", batch=4, lanes=64):
+             mode="scan", batch=1, lanes=256):
     """mode 'scan': single-program codec, bit-exact by shared executable
     (default). mode 'dense': one-shot parallel tables (fastest encode)."""
     import jax.numpy as jnp
@@ -191,9 +191,9 @@ def main(argv=None):
                         "(bit-exact by construction), 'dense' = one-shot "
                         "parallel tables (fastest encode); decode "
                         "auto-detects from the stream header")
-    parser.add_argument("--batch", type=int, default=4,
+    parser.add_argument("--batch", type=int, default=1,
                         help="scan-mode executable batch size")
-    parser.add_argument("--lanes", type=int, default=64,
+    parser.add_argument("--lanes", type=int, default=256,
                         help="scan-mode arithmetic-coder lanes per stream")
     args = parser.parse_args(argv)
     midx = args.model_idx

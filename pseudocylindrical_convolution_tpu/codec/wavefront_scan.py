@@ -448,12 +448,13 @@ class ScanWavefrontCodec:
             streams.append((hdr["payload"], hdr["lane_nbytes"]))
         return self.decode_streams(streams)
 
-    def decode_streams(self, streams):
+    def decode_streams_device(self, streams):
         """streams: list of <= B (payload bytes, lane_nbytes) pairs.
-        Returns (B', npart, G, h, w) int32 symbol planes."""
+        Dispatches the scan program and returns the (B, P) int32 symbol
+        plane as a DEVICE array (async) -- callers chain further on-device
+        work (e.g. the image reconstruction) without a host round trip."""
         B, L, NW = self.B, self.L, self.NW
-        nreq = len(streams)
-        assert nreq <= B
+        assert len(streams) <= B
         words = np.zeros((B, NW), np.uint32)
         nbits = np.zeros((B, L), np.uint32)
         for b, (payload, lane_nbytes) in enumerate(streams):
@@ -478,7 +479,15 @@ class ScanWavefrontCodec:
         plane, _ = self._run(jnp.asarray(words.reshape(-1)),
                              jnp.asarray(word_off), jnp.asarray(nbits),
                              teacher, decode=True)
-        plane = np.asarray(plane[:nreq])
+        return plane
+
+    def decode_streams(self, streams):
+        """streams: list of <= B (payload bytes, lane_nbytes) pairs.
+        Returns (B', npart, G, h, w) int32 symbol planes (host)."""
+        nreq = len(streams)
+        plane = self.decode_streams_device(streams)
+        # symbols are < 256: transfer uint8 (4x less device->host traffic)
+        plane = np.asarray(plane[:nreq].astype(jnp.uint8)).astype(np.int32)
         return plane.reshape(nreq, self.npart, self.G, self.h, self.w)
 
 
@@ -509,8 +518,18 @@ def _prepared(codec: ScanWavefrontCodec, ent_params):
 
 
 def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
-                       fnames, batch: int = 4, lanes: int = 64):
-    """Encode a list of (1, 3, H, W) images to scan-mode container files."""
+                       fnames, batch: int = 1, lanes: int = 256):
+    """Encode a list of (1, 3, H, W) images to scan-mode container files.
+
+    Pipelined: all chunks' latent transforms and scan programs are
+    dispatched asynchronously; the host arithmetic-coder packing of chunk k
+    overlaps the device running chunk k+1. batch=1 measured fastest
+    per image on a v5e (the scan step is compute-bound, so batching images
+    buys nothing; it only helps amortize very small latents). lanes=256
+    quarters the sequential AC rounds per step vs 64 (decode 6.0 -> 5.25
+    ms/step on chip) at ~0.5% stream-size cost (per-lane termination).
+    """
+    from pseudocylindrical_convolution_tpu.codec import container
     from pseudocylindrical_convolution_tpu.codec.pipeline import (
         _encode_latents_plane)
     assert len(images) == len(fnames)
@@ -518,22 +537,48 @@ def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
     for x in images:
         hcode, _, _ = _encode_latents_plane(params, x, cfg, geom)
         nb, G, h, w = hcode.shape
-        planes.append(np.asarray(hcode).astype(np.int32).reshape(
-            geom.npart, G, h, w))
+        planes.append(hcode.astype(jnp.int32).reshape(
+            geom.npart, G, h, w))                     # device, async
     h, w = planes[0].shape[2:]
     codec = _prepared(get_scan_codec(cfg, geom, h, w, batch, lanes),
                       params["ent"])
-    sizes = []
+    pending = []
     for o in range(0, len(planes), batch):
         chunk = planes[o:o + batch]
-        full = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
-        sizes += codec.encode_files(full, fnames[o:o + batch])
+        full = jnp.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
+        teacher = full.reshape(batch, codec.P)
+        words = jnp.zeros((batch * codec.NW,), jnp.uint32)
+        zoff = jnp.zeros((batch, codec.L), jnp.int32)
+        znb = jnp.zeros((batch, codec.L), jnp.uint32)
+        _, packed = codec._run(words, zoff, znb, teacher, decode=False)
+        pending.append((packed, fnames[o:o + batch]))
+    flags = container.FLAG_BF16 if codec.dtype == jnp.bfloat16 else 0
+    sizes = []
+    loff = codec.lane_sym_off.astype(np.int64)
+    for packed, fns in pending:
+        packed = np.asarray(packed)
+        for b, fn in enumerate(fns):
+            payload, lane_nbytes = encode_lanes(
+                packed[b][codec.lane_perm], loff, TOTAL)
+            assert (lane_nbytes.astype(np.int64) * 8
+                    <= codec.lane_counts * 16 + 16).all(), \
+                "lane exceeded the static AC size bound"
+            sizes.append(container.write_stream(
+                fn, container.MODE_SCAN, codec.npart, cfg.valid_dim,
+                h, w, payload, lanes=codec.L, batch=codec.B,
+                lane_nbytes=lane_nbytes, flags=flags))
     return sizes
 
 
 def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
                        image_hw=(512, 1024)):
-    """Decode scan-mode container files -> (len(fnames), 3, H, W)."""
+    """Decode scan-mode container files -> (len(fnames), 3, H, W).
+
+    The whole chain (scan decode -> latent dequant -> synthesis transform)
+    stays on device per chunk, and all chunks are dispatched before any
+    device->host pull, so host-side stream prep and image download overlap
+    device compute.
+    """
     from pseudocylindrical_convolution_tpu.codec import container
     from pseudocylindrical_convolution_tpu.codec.pipeline import (
         _decode_image_from_latents)
@@ -548,12 +593,18 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
                                      int(hdr0["lanes"]), dtype=dtype),
                       params["ent"])
-    recs = []
+    pending = []
     for o in range(0, len(fnames), codec.B):
-        planes = codec.decode_files(fnames[o:o + codec.B])
-        hcode = jnp.asarray(
-            (planes.astype(np.float32)).reshape(
-                planes.shape[0] * geom.npart, cfg.ngroup, h, w))
-        recs.append(np.asarray(_decode_image_from_latents(
-            params, hcode, cfg, geom)))
-    return np.concatenate(recs, axis=0)
+        chunk = fnames[o:o + codec.B]
+        streams = []
+        for fn in chunk:
+            hdr = container.read_stream(fn)
+            container.check_stream(hdr, fn, container.MODE_SCAN, geom.npart,
+                                   cfg.valid_dim, h, w)
+            streams.append((hdr["payload"], hdr["lane_nbytes"]))
+        plane = codec.decode_streams_device(streams)      # (B, P) device
+        hcode = plane.astype(jnp.float32).reshape(
+            codec.B * geom.npart, cfg.ngroup, h, w)
+        rec = _decode_image_from_latents(params, hcode, cfg, geom)
+        pending.append((rec, len(chunk)))
+    return np.concatenate([np.asarray(rec)[:n] for rec, n in pending])

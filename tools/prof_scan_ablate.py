@@ -77,6 +77,10 @@ def main():
     # ---- full encode-mode program ----
     timeit("full", lambda: codec._run(zwords, zoff, znb, teacher,
                                       decode=False))
+    # ---- full decode-mode program (zero words; AC state machine still
+    # steps every round, which is what costs) ----
+    timeit("fulldec", lambda: codec._run(zwords, zoff, znb, teacher,
+                                         decode=True))
 
     # ---- variants of the network-only scan (channel-last layout) ----
     def make_net_scan(use_deposit=True, use_conv=True):
