@@ -77,15 +77,8 @@ def _setup(model_idx: int, mse: bool, device_id: int = 0):
 
 
 def _read_image(path: str):
-    import cv2
-    img = cv2.imread(path)
-    if img is None:
-        raise FileNotFoundError(path)
-    if img.shape[:2] != IMAGE_HW:
-        img = cv2.resize(img, (IMAGE_HW[1], IMAGE_HW[0]),
-                         interpolation=cv2.INTER_CUBIC)
-    x = img.transpose(2, 0, 1).astype(np.float32) / 255.0
-    return x[None]
+    from pseudocylindrical_convolution_tpu.train.dataset import load_image
+    return load_image(path, IMAGE_HW)[None]
 
 
 def _write_image(path: str, data):
