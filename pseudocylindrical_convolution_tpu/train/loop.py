@@ -24,14 +24,23 @@ from pseudocylindrical_convolution_tpu.parallel.train import (
     LossWeights, create_train_state, make_eval_step, make_train_step)
 from pseudocylindrical_convolution_tpu.train.dataset import (
     BalancedWindowSampler, SphereDataset, batch_iterator)
-from pseudocylindrical_convolution_tpu.train.rdmetric import mse_anchor
+from pseudocylindrical_convolution_tpu.train.rdmetric import (
+    mse_anchor, ssim_anchor)
 from pseudocylindrical_convolution_tpu.utils.checkpoint import (
-    ModelSaver, load_params, save_params)
+    ModelSaver, is_train_state_file, load_params, load_train_state,
+    save_params)
 from pseudocylindrical_convolution_tpu.utils.logger import Logger
 
 
-def validate(eval_step, params, dataset, indices, batch_size, valid_dim, log):
-    """trainDDP_Full.py:56-81: mean metrics + RD-anchor-normalized loss."""
+def validate(eval_step, params, dataset, indices, batch_size, valid_dim, log,
+             beta: float = 0.0):
+    """trainDDP_Full.py:56-81: mean metrics + RD-anchor-normalized loss.
+
+    The reference selects checkpoints on the MSE anchor even for SSIM-loss
+    runs (trainDDP_Full.py:79 uses mse_tb unconditionally; ssim_tb is
+    imported but never used). Here an SSIM-family run (beta > 0) is anchored
+    on the SSIM curve (test/RDMetric.py:12-13): tloss = anchor_ssim(rate) -
+    test_ssim, lower = better, zero = on the paper's curve."""
     mses, ssims, ents = [], [], []
     for s in range(0, len(indices) - batch_size + 1, batch_size):
         batch = np.stack([dataset[int(i)]
@@ -47,7 +56,10 @@ def validate(eval_step, params, dataset, indices, batch_size, valid_dim, log):
     real_rt = vd * test_ent / 0.693
     log.log(f"Test: MSE {test_mse:.6f}  SSIM {test_ssim:.4f} "
             f"Ent {test_ent:.3f} rt {real_rt:.3f}bpp")
-    rt_loss = test_mse - float(mse_anchor(real_rt))
+    if beta > 0:
+        rt_loss = float(ssim_anchor(real_rt)) - test_ssim
+    else:
+        rt_loss = test_mse - float(mse_anchor(real_rt))
     log.log(f"tloss: {rt_loss}")
     return [rt_loss]
 
@@ -74,9 +86,19 @@ def run(args):
         prefix += "_init"
     os.makedirs(args.save_dir, exist_ok=True)
     log = Logger(os.path.join(args.save_dir, f"{prefix}_log.txt"))
+    resume_state = None
     if args.resume and os.path.exists(args.resume):
-        params = load_params(args.resume)
-        log.log(f"loaded {args.resume}")
+        if is_train_state_file(args.resume):
+            # full resume: params + quant count + optimizer states + step
+            # continue bit-exactly (the reference checkpoints `count` as a
+            # parameter, PseudoContextV2.py:250; we restore Adam moments too)
+            resume_state = load_train_state(args.resume)
+            params = resume_state["params"]
+            log.log(f"resumed full train state {args.resume} "
+                    f"(step {int(resume_state['step'])})")
+        else:
+            params = load_params(args.resume)
+            log.log(f"loaded {args.resume}")
     elif args.init_from and os.path.exists(args.init_from):
         # staged init (trainDDP_Full.py:88-95 init_with_trained_model):
         # adopt every subtree whose leaf shapes match (e.g. encoder/decoder/
@@ -101,6 +123,12 @@ def run(args):
                 f"fresh {skipped}")
 
     state, tx_other, tx_ent = create_train_state(params, cfg, args.lr)
+    if resume_state is not None:
+        import dataclasses as _dc
+        state = _dc.replace(state, count=resume_state["count"],
+                            opt_other=resume_state["opt_other"],
+                            opt_ent=resume_state["opt_ent"],
+                            step=resume_state["step"])
     step_fn = make_train_step(cfg, geom, lw, tx_other, tx_ent,
                               acc_batch=args.acc_batch, axis_name="data")
     step_ent = shard_train_step(step_fn, mesh, True)
@@ -135,8 +163,9 @@ def run(args):
                     f"ssim {1 - float(metrics['ssim_loss']):.3f} "
                     f"rate {float(metrics['rate']):.3f}")
         ls = validate(eval_step, state.params, test_ds, test_idx,
-                      args.test_batch_size, args.valid_dim, log)
-        log.log(saver.save(state.params, ls))
+                      args.test_batch_size, args.valid_dim, log,
+                      beta=args.beta)
+        log.log(saver.save(state.params, ls, state=state))
     save_params(state.params, os.path.join(args.save_dir, f"{prefix}_final.pkl"))
 
 

@@ -48,8 +48,54 @@ def load_params_orbax(path: str):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
+# ---------------------------------------------------------------------------
+# Full training-state persistence
+# ---------------------------------------------------------------------------
+#
+# The reference checkpoints the quantizer usage histogram `count` as a model
+# parameter (PCONV_operator/PseudoContextV2.py:250), so a resumed run keeps
+# its bin-merge statistics. Saving `params` alone (the round-2 behavior)
+# silently reset `count` and both Adam states on --resume, diverging from an
+# uninterrupted run. These helpers persist the complete TrainState.
+
+_STATE_KEYS = ("params", "count", "opt_other", "opt_ent", "step")
+_STATE_MARK = "__train_state__"
+
+
+def save_train_state(state, path: str):
+    """Persist the full TrainState (params + quant count + both optimizer
+    states + step) so --resume exactly continues an interrupted run."""
+    tree = {k: getattr(state, k) for k in _STATE_KEYS}
+    tree[_STATE_MARK] = True
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy_tree(tree), f)
+
+
+def is_train_state_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            tree = pickle.load(f)
+    except Exception:
+        return False
+    return isinstance(tree, dict) and bool(tree.get(_STATE_MARK))
+
+
+def load_train_state(path: str) -> dict:
+    """Load a save_train_state file -> dict with keys _STATE_KEYS."""
+    with open(path, "rb") as f:
+        tree = pickle.load(f)
+    if not tree.get(_STATE_MARK):
+        raise ValueError(f"{path} is not a train-state checkpoint")
+    return jax.tree_util.tree_map(jnp.asarray,
+                                  {k: tree[k] for k in _STATE_KEYS})
+
+
 class ModelSaver:
-    """Best/latest checkpoint keeper (ModuleSaver semantics)."""
+    """Best/latest checkpoint keeper (ModuleSaver semantics).
+
+    Params-only .pkl files keep the codec-loadable format; when the caller
+    passes the full TrainState, `{prefix}_trainstate.pkl` additionally
+    tracks the complete resumable state every save."""
 
     def __init__(self, path: str = "./saved_models/", prefix: str = "default"):
         self.path = path
@@ -62,7 +108,7 @@ class ModelSaver:
             losses = [losses]
         self.best = list(losses)
 
-    def save(self, params, losses) -> str:
+    def save(self, params, losses, state=None) -> str:
         if not isinstance(losses, (list, tuple)):
             losses = [losses]
         if self.best is None:
@@ -79,6 +125,9 @@ class ModelSaver:
             fn = os.path.join(self.path, f"{self.prefix}_latest.pkl")
             save_params(params, fn)
             msg = f"update {os.path.basename(fn)}"
+        if state is not None:
+            save_train_state(state, os.path.join(
+                self.path, f"{self.prefix}_trainstate.pkl"))
         return msg
 
 

@@ -50,3 +50,55 @@ def test_wavefront_schedule_highres():
     hindex = geom.hindex(256, 512)
     total = sum(int(hindex[i // 16]) for i in range(256)) * 48
     assert counts.sum() == len(order) == total
+
+
+def test_resume_bitmatch(tmp_path):
+    """A save at step k + full-state resume must bit-match an uninterrupted
+    run at step k+n (VERDICT r2 weak #2: params-only resume silently reset
+    the quantizer `count` histogram and both Adam states; the reference
+    checkpoints count as a parameter, PseudoContextV2.py:250)."""
+    import jax
+    import jax.numpy as jnp
+    from pseudocylindrical_convolution_tpu.models.cmpnet import (
+        CMPNetConfig, cmpnet_init)
+    from pseudocylindrical_convolution_tpu.parallel.mesh import (
+        make_mesh, shard_train_step)
+    from pseudocylindrical_convolution_tpu.parallel.train import (
+        LossWeights, TrainState, create_train_state, make_train_step)
+    from pseudocylindrical_convolution_tpu.utils.checkpoint import (
+        is_train_state_file, load_train_state, save_train_state)
+
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=4)
+    geom = cfg.geometry()
+    lw = LossWeights(viewport_size=17)
+    # check_iters=2 makes the quant bin-merge depend on the restored count
+    mk = lambda: create_train_state(  # noqa: E731
+        cmpnet_init(jax.random.PRNGKey(0), cfg), cfg)
+    _, tx_o, tx_e = mk()
+    step_fn = make_train_step(cfg, geom, lw, tx_o, tx_e, acc_batch=2,
+                              check_iters=2, axis_name="data")
+    mesh = make_mesh(2)
+    step = shard_train_step(step_fn, mesh, True)
+    batches = [jax.random.uniform(jax.random.PRNGKey(10 + i),
+                                  (2, 2, 3, 64, 128), jnp.float32)
+               for i in range(4)]
+
+    s, _, _ = mk()                       # uninterrupted: 4 steps
+    for b in batches:
+        s, _ = step(s, b)
+    ref = jax.tree.map(np.asarray, s)
+
+    s, _, _ = mk()                       # interrupted at step 2
+    for b in batches[:2]:
+        s, _ = step(s, b)
+    fn = str(tmp_path / "ts.pkl")
+    save_train_state(s, fn)
+    assert is_train_state_file(fn)
+    ld = load_train_state(fn)
+    s2 = TrainState(**ld)
+    for b in batches[2:]:
+        s2, _ = step(s2, b)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(jax.tree.map(np.asarray, s2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
