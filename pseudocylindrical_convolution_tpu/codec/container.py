@@ -10,7 +10,8 @@ coder.
 Layout (big-endian):
   magic  4s   b"PC60"
   ver    u8   1
-  mode   u8   0 = dense (codec/pipeline.py), 1 = scan (wavefront_scan.py)
+  mode   u8   0 = dense (codec/pipeline.py), 1 = scan (wavefront_scan.py),
+              2 = incremental (codec/incremental.py)
   npart  u8
   flags  u8   bit 0 (FLAG_BF16): scan program ran with bf16 activation
               buffers; bit 1 reserved (was an experimental buffer layout).
@@ -35,6 +36,7 @@ MAGIC = b"PC60"
 VERSION = 1
 MODE_DENSE = 0
 MODE_SCAN = 1
+MODE_INCR = 2
 FLAG_BF16 = 1
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)

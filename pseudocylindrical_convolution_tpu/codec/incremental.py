@@ -267,19 +267,20 @@ class WavefrontCodec:
         return bufs, tb[:, 1:NSTEP].astype(jnp.uint16)
 
     # ------------------------------------------------------------------
-    def _run(self, fnames, teacher_plane=None):
+    def _run(self, payloads, teacher_plane=None):
         """Drive the step loop. With teacher_plane (B=1 numpy symbols plane
         (npart, G, h, w)): encode mode, all steps dispatched async. Without:
-        decode mode, blocking on each step's tables."""
+        decode mode, blocking on each step's tables; payloads = list of raw
+        AC payload bytes (container header already stripped)."""
         maxlen = self.maxlen
         decode = teacher_plane is None
         coders = []
         if decode:
-            for fn in fnames:
-                c = Coder(fn)
-                c.start_decoder()
+            for data in payloads:
+                c = Coder("<buffer>")
+                c.start_decoder_buf(data)
                 coders.append(c)
-        assert not decode or len(fnames) == 1, "B=1 for now"
+        assert not decode or len(payloads) == 1, "B=1 for now"
         weights = self._weights
         bufs = self.init_buffers()
         out_syms = np.zeros(self.grid_idx.shape[0], np.int32)
@@ -332,9 +333,11 @@ class WavefrontCodec:
                                            self.ng)
 
     def encode(self, hcode_plane: np.ndarray, fname: str) -> int:
-        """hcode_plane: (npart, G, h, w) integer symbols (numpy)."""
+        """hcode_plane: (npart, G, h, w) integer symbols (numpy). Writes a
+        self-describing MODE_INCR container file; returns its size."""
+        from pseudocylindrical_convolution_tpu.codec import container
         syms, tables_async = self._run(None, teacher_plane=hcode_plane)
-        coder = Coder(fname)
+        coder = Coder("<buffer>")
         coder.start_encoder()
         for (z, tb) in tables_async:
             n = int(self.counts[z])
@@ -345,7 +348,76 @@ class WavefrontCodec:
             step_tb[:, 1:NSTEP] = rows
             step_tb[:, NSTEP] = TOTAL
             coder.encodes(step_tb, NSTEP, syms[o: o + n], n)
-        return coder.end_encoder()
+        payload = coder.end_encoder_buf()
+        return container.write_stream(fname, container.MODE_INCR, self.npart,
+                                      self.cfg.valid_dim, self.h, self.w,
+                                      payload)
 
     def decode(self, fname: str) -> np.ndarray:
-        return self._run([fname])
+        from pseudocylindrical_convolution_tpu.codec import container
+        hdr = container.read_stream(fname)
+        container.check_stream(hdr, fname, container.MODE_INCR, self.npart,
+                               self.cfg.valid_dim, self.h, self.w)
+        return self._run([hdr["payload"]])
+
+
+# ---------------------------------------------------------------------------
+# Image-level incremental-mode API (CLI `--mode incremental`)
+# ---------------------------------------------------------------------------
+
+_INCR_CACHE = {}
+
+
+def get_incremental_codec(cfg: CMPNetConfig, geom: Geometry, h: int,
+                          w: int) -> WavefrontCodec:
+    key = (cfg, geom, h, w)
+    codec = _INCR_CACHE.get(key)
+    if codec is None:
+        codec = WavefrontCodec(cfg, geom, h, w)
+        _INCR_CACHE[key] = codec
+    return codec
+
+
+def _prepared(codec: WavefrontCodec, ent_params):
+    if getattr(codec, "_prepared_src", None) is not ent_params:
+        codec.prepare(ent_params)
+        codec._prepared_src = ent_params
+    return codec
+
+
+def incr_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
+                       fnames):
+    """Encode (1, 3, H, W) images to incremental-mode container files."""
+    from pseudocylindrical_convolution_tpu.codec.pipeline import (
+        _encode_latents_plane)
+    assert len(images) == len(fnames)
+    sizes = []
+    codec = None
+    for x, fn in zip(images, fnames):
+        hcode, _, _ = _encode_latents_plane(params, x, cfg, geom)
+        nb, G, h, w = hcode.shape
+        if codec is None:
+            codec = _prepared(get_incremental_codec(cfg, geom, h, w),
+                              params["ent"])
+        plane = np.asarray(hcode).reshape(geom.npart, G, h, w)
+        sizes.append(codec.encode(plane, fn))
+    return sizes
+
+
+def incr_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
+                       image_hw=(512, 1024)):
+    """Decode incremental-mode container files -> (len(fnames), 3, H, W)."""
+    from pseudocylindrical_convolution_tpu.codec.pipeline import (
+        _decode_image_from_latents)
+    H, W = image_hw
+    h = H // geom.npart // 8
+    w = W // 8
+    codec = _prepared(get_incremental_codec(cfg, geom, h, w), params["ent"])
+    recs = []
+    for fn in fnames:
+        plane = codec.decode(fn)
+        hcode = jnp.asarray(plane.reshape(geom.npart, cfg.ngroup, h, w),
+                            jnp.float32)
+        recs.append(np.asarray(
+            _decode_image_from_latents(params, hcode, cfg, geom)))
+    return np.concatenate(recs)

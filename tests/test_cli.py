@@ -39,7 +39,21 @@ def tiny_model(tmp_path, monkeypatch):
     return fn, tmp_path
 
 
-@pytest.mark.parametrize("mode", ["scan", "dense"])
+def test_cli_missing_model_graceful(tiny_model):
+    """A registry index without an installed checkpoint must fail at
+    argument-check time with the list of installed rate points."""
+    fn, tmp = tiny_model
+    cli.MODEL_MSE_LIST.append("9_192")
+    cli.MSE_CHANNEL_LIST.append(192)
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["--enc", "--img-list", fn, "--code-list",
+                  str(tmp / "x.bin"), "--model-idx", "1"])
+    msg = str(ei.value)
+    assert "9_192" in msg and "Installed mse rate points" in msg
+    assert "0 (1_8)" in msg
+
+
+@pytest.mark.parametrize("mode", ["scan", "dense", "incremental"])
 def test_cli_enc_dec_test_roundtrip(tiny_model, capsys, mode):
     fn, tmp = tiny_model
     code = str(tmp / "img.bin")
