@@ -91,11 +91,13 @@ class ScanWavefrontCodec:
         per-executable either way (the stream header records the profile,
         container.FLAG_BF16).
 
-        Layer buffers are flat channel-last (B, 3, S, C): skewed layouts
-        that turn the window gather / frontier write into dynamic slices
-        were A/B'd on hardware and LOST (ARCHITECTURE.md §8 ablation) --
-        XLA's masked streaming add is already free and dynamic slices on
-        non-major axes hit slow paths."""
+        Layer buffers are flat channel-last, subnet-stacked (B, S, 3*C):
+        one grouped conv per layer-step covers all three parameter subnets
+        and the window gather fetches 3x-wider contiguous rows. Skewed
+        layouts that turn the window gather / frontier write into dynamic
+        slices were A/B'd on hardware and LOST (ARCHITECTURE.md §8
+        ablation) -- XLA's masked streaming add is already free and
+        dynamic slices on non-major axes hit slow paths."""
         self.cfg, self.geom, self.h, self.w = cfg, geom, h, w
         self.B, self.L = batch, lanes
         self.dtype = jnp.dtype(dtype)
@@ -159,27 +161,38 @@ class ScanWavefrontCodec:
 
     # ------------------------------------------------------------------
     def prepare(self, ent_params):
-        """Stack, mask, and shear the entropy-net weights (once per model).
+        """Stack, mask, shear, and subnet-fuse the entropy-net weights.
 
-        Kernels are stored HWIO ((3, 9, 5, C_in, C_out)) for the
-        channels-last conv."""
+        The three parameter subnets (weight/delta/mean) are fused into ONE
+        conv per layer: hidden layers as a feature_group_count=3 grouped
+        conv over subnet-stacked channels (kernel (9, 5, C, 3*cout) HWIO),
+        the input layer (shared input plane) as a single dense conv
+        (kernel (9, 5, G, 3*cout)). Round-3 change: one conv dispatch per
+        layer-step instead of three, and window-gather rows grow 3x (the
+        gather was the measured per-step bottleneck, ARCHITECTURE.md §8)."""
         layers = stack_step_weights(ent_params, self.G, self.cpn, self.ng)
-        self._weights = [
-            {"k": _shear_kernel(l["w"].reshape(
-                3, self.G * l["w"].shape[2], l["w"].shape[3], 5, 5))
-             .transpose(0, 3, 4, 2, 1).astype(self.dtype),
-             "b": l["b"], "a": l["a"]}
-            for l in layers]
+        self._weights = []
+        for li, l in enumerate(layers):
+            cout_full = self.G * l["w"].shape[2]
+            # (3, cout_full, cin, 9, 5) -> (3, 9, 5, cin, cout_full)
+            k = _shear_kernel(l["w"].reshape(
+                3, cout_full, l["w"].shape[3], 5, 5)).transpose(0, 3, 4, 2, 1)
+            # subnet-fused HWIO kernel (9, 5, cin, 3*cout_full)
+            k = jnp.concatenate([k[0], k[1], k[2]], axis=-1).astype(
+                self.dtype)
+            b = l["b"].reshape(-1)                       # (3*cout_full,)
+            a = None if l["a"] is None else l["a"].reshape(-1)
+            self._weights.append({"k": k, "b": b, "a": a})
 
     # ------------------------------------------------------------------
     def _window(self, buf, z):
         """Skew window gathered through the causal pad tables, channel-last.
 
-        buf: (B, 3, S, C) layer buffer or (B, S, G) input plane. Window
-        element (b, rp, t) = padded[b, rp, cp], cp = z - G + 1 - h*b + t - rp
-        (padded column coordinate). Returns (B[, 3], npart, h+4, T, C): the
-        gather fetches contiguous C-rows (vector-lane axis), which is the
-        fast gather shape on TPU."""
+        buf: (B, S, CC) layer buffer (CC = 3*C subnet-stacked, or G for the
+        input plane). Window element (b, rp, t) = padded[b, rp, cp],
+        cp = z - G + 1 - h*b + t - rp (padded column coordinate). Returns
+        (B, npart, h+4, T, CC): the gather fetches contiguous CC-rows (the
+        vector lane axis), which is the fast gather shape on TPU."""
         idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
         idxp, wgtp = jnp.asarray(idxp_np), jnp.asarray(wgtp_np.astype(
             self.dtype))
@@ -193,8 +206,7 @@ class ScanWavefrontCodec:
         cc = jnp.where(oob, w + 4, cp)                # sentinel column
         i0 = jnp.take_along_axis(idxp[0], cc, axis=2)
         w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)[..., None]
-        axis = buf.ndim - 2                            # the S axis
-        win = jnp.take(buf, i0, axis=axis) * w0
+        win = jnp.take(buf, i0, axis=1) * w0
         # the second pad tap is only ever nonzero on the 4 vertical-pad
         # rows (neighbour-band lerp); gather those rows alone -- the
         # window gather is the measured per-step bottleneck
@@ -202,72 +214,74 @@ class ScanWavefrontCodec:
         ccp = cc[:, prow]
         i1 = jnp.take_along_axis(idxp[1][:, prow], ccp, axis=2)
         w1 = jnp.take_along_axis(wgtp[1][:, prow], ccp, axis=2)[..., None]
-        gp = jnp.take(buf, i1, axis=axis) * w1        # (..., npart, 4, T, C)
-        rsel = (buf.ndim - 2) + 1                      # pad-row axis in win
-        top = jax.lax.slice_in_dim(win, 0, 2, axis=rsel) \
-            + jax.lax.slice_in_dim(gp, 0, 2, axis=rsel)
-        mid = jax.lax.slice_in_dim(win, 2, h + 2, axis=rsel)
-        bot = jax.lax.slice_in_dim(win, h + 2, h + 4, axis=rsel) \
-            + jax.lax.slice_in_dim(gp, 2, 4, axis=rsel)
-        return jnp.concatenate([top, mid, bot], axis=rsel)
+        gp = jnp.take(buf, i1, axis=1) * w1           # (B, npart, 4, T, CC)
+        top = jax.lax.slice_in_dim(win, 0, 2, axis=2) \
+            + jax.lax.slice_in_dim(gp, 0, 2, axis=2)
+        mid = jax.lax.slice_in_dim(win, 2, h + 2, axis=2)
+        bot = jax.lax.slice_in_dim(win, h + 2, h + 4, axis=2) \
+            + jax.lax.slice_in_dim(gp, 2, 4, axis=2)
+        return jnp.concatenate([top, mid, bot], axis=2)
 
     def _frontier_conv(self, buf, z, layer):
         """One layer's new frontier cells via the sheared-kernel conv.
 
-        buf: (B, 3, S, C) [or (B, S, G) input plane]; returns channel-last
-        cells (3, B, npart, h, C_out)."""
+        buf: (B, S, CC) subnet-stacked layer buffer [or (B, S, G) input
+        plane]; returns channel-last cells (B, npart, h, 3*C_out)."""
         G, h, B, npart = self.G, self.h, self.B, self.npart
-        K, bias, act = layer["k"], layer["b"], layer["a"]   # K: (3,9,5,C,co)
-        cout_full = K.shape[-1]
-        win = self._window(buf, z)     # (B, 3, npart, h+4, T, C) | (B, ...)
-        if win.ndim == 5:                                # input layer
-            win = jnp.broadcast_to(win[:, None], (B, 3) + win.shape[1:])
-        C = win.shape[-1]
-        # -> (3, B*npart, T, rp, C): batch/spatial reorder only, C stays
+        K, bias, act = layer["k"], layer["b"], layer["a"]
+        cout3 = K.shape[-1]                            # 3 * cout_full
+        cout_full = cout3 // 3
+        win = self._window(buf, z)                     # (B, np, h+4, T, CC)
+        CC = win.shape[-1]
+        # input plane (CC == G): one dense conv; hidden layers: grouped
+        # conv, one feature group per parameter subnet (static by shape)
+        fg = 1 if CC == G else 3
+        # -> (B*npart, T, rp, CC): batch/spatial reorder only, CC stays
         # minor (no lane-crossing relayout)
-        lhs = win.transpose(1, 0, 2, 4, 3, 5).reshape(
-            3, B * npart, G + 8, h + 4, C)
-        outs = []
-        for s in range(3):
-            outs.append(jax.lax.conv_general_dilated(
-                lhs[s], K[s], (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32))
-        out = jnp.stack(outs)             # (3, B*npart, G_y, h, cout_full)
-        # output channel c (group g = c // cout) keeps y-slice G-1-g:
-        # masked reduction over G_y (streaming; replaces flip+diagonal)
-        grp = np.arange(cout_full) // (cout_full // G)
+        lhs = win.transpose(0, 1, 3, 2, 4).reshape(
+            B * npart, G + 8, h + 4, CC)
+        out = jax.lax.conv_general_dilated(
+            lhs, K, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=fg,
+            preferred_element_type=jnp.float32)        # (B*np, G_y, h, co3)
+        # output channel c (subnet s = c // cout_full, group
+        # g = (c % cout_full) // cpn) keeps y-slice G-1-g: masked reduction
+        # over G_y (streaming; replaces flip+diagonal)
+        grp = (np.arange(cout3) % cout_full) // (cout_full // G)
         sel = (np.arange(G)[:, None] == (G - 1 - grp)[None, :])
-        out = jnp.sum(out * jnp.asarray(sel, out.dtype)[:, None, :], axis=2)
-        out = out.reshape(3, B, npart, h, cout_full)
-        out = out + bias.reshape(3, 1, 1, 1, cout_full)
+        out = jnp.sum(out * jnp.asarray(sel, out.dtype)[None, :, None],
+                      axis=1)
+        out = out.reshape(B, npart, h, cout3)
+        out = out + bias.reshape(1, 1, 1, cout3)
         if act is not None:
-            a = act.reshape(3, 1, 1, 1, cout_full)
+            a = act.reshape(1, 1, 1, cout3)
             out = jnp.where(out >= 0, out, a * out)
         return out
 
     def _deposit(self, buf, cells, z):
         """Add the step-z frontier cells into a channel-last layer buffer.
 
-        Flat layout -- buf: (B, 3, S, C); cells: (3, B, npart, h, C). The
-        write target of channel c (group g) at tile row (b, r) is column
-        j = z - g - (h*b+r); expressed as an iota comparison the update is
-        one streaming masked add over the buffer -- far cheaper than an
-        XLA scatter on TPU (and than dynamic-slice read-modify-writes;
-        both alternatives measured slower, ARCHITECTURE.md §8)."""
+        Flat layout -- buf: (B, S, 3C); cells: (B, npart, h, 3C). The
+        write target of channel c (group g = (c % C) // cpn) at tile row
+        (b, r) is column j = z - g - (h*b+r); expressed as an iota
+        comparison the update is one streaming masked add over the buffer
+        -- far cheaper than an XLA scatter on TPU (and than dynamic-slice
+        read-modify-writes; both alternatives measured slower,
+        ARCHITECTURE.md §8)."""
         G, h, w, npart = self.G, self.h, self.w, self.npart
-        C = buf.shape[-1]
-        grp = jnp.asarray(np.arange(C) // (C // G))            # (C,)
+        CC = buf.shape[-1]
+        C = CC // 3
+        grp = jnp.asarray((np.arange(CC) % C) // (C // G))     # (CC,)
         b = jnp.arange(npart)[:, None, None, None]
         r = jnp.arange(h)[None, :, None, None]
         j = jnp.arange(w)[None, None, :, None]
-        tgt = z - grp[None, None, None, :] - (h * b + r)       # (np,h,1,C)+j
+        tgt = z - grp[None, None, None, :] - (h * b + r)       # (np,h,1,CC)+j
         wl = jnp.asarray(np.asarray(self.geom.hindex(self.h_out, w)))[
             :, None, None, None]
-        mask = (j == tgt) & (j < wl)                           # (np,h,w,C)
-        cellsT = cells.transpose(1, 0, 2, 3, 4).astype(buf.dtype)
-        upd = jnp.where(mask[None, None], cellsT[:, :, :, :, None, :],
-                        jnp.zeros((), buf.dtype))              # (B,3,np,h,w,C)
+        mask = (j == tgt) & (j < wl)                           # (np,h,w,CC)
+        upd = jnp.where(mask[None], cells.astype(buf.dtype)[:, :, :, None, :],
+                        jnp.zeros((), buf.dtype))          # (B,np,h,w,CC)
         return buf + upd.reshape(buf.shape)
 
     # ------------------------------------------------------------------
@@ -284,8 +298,8 @@ class ScanWavefrontCodec:
         C = G * cpn
 
         bufs = [jnp.zeros((B, S, G), self.dtype)]        # channel-last
-        for _ in range(11):
-            bufs.append(jnp.zeros((B, 3, S, C), self.dtype))
+        for _ in range(11):                              # subnet-stacked
+            bufs.append(jnp.zeros((B, S, 3 * C), self.dtype))
         ac = device_ac.init_state(words, word_off, nbits)
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
@@ -312,9 +326,10 @@ class ScanWavefrontCodec:
                 bufs[3 + 2 * blk] = self._deposit(bufs[3 + 2 * blk], ycells,
                                                   z)
             out = self._frontier_conv(bufs[11], z, weights[11])
-            # CDF grid (B, G*h_out, 9): grid row = g*h_out + (b*h + r)
-            prm = out.reshape(3, B, npart, h, G, ng).transpose(
-                0, 1, 4, 2, 3, 5).reshape(3, B, G * self.h_out, ng)
+            # CDF grid (B, G*h_out, 9): grid row = g*h_out + (b*h + r);
+            # out channels are subnet-major (s, g, k)
+            prm = out.reshape(B, npart, h, 3, G, ng).transpose(
+                3, 0, 4, 1, 2, 5).reshape(3, B, G * self.h_out, ng)
             tb = jax.vmap(
                 lambda ww, dd, mm: gmm_cdf_table(ww, dd, mm, NSTEP, BIAS,
                                                  TOTAL))(
@@ -489,6 +504,106 @@ class ScanWavefrontCodec:
         # symbols are < 256: transfer uint8 (4x less device->host traffic)
         plane = np.asarray(plane[:nreq].astype(jnp.uint8)).astype(np.int32)
         return plane.reshape(nreq, self.npart, self.G, self.h, self.w)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device fan-out: one stream per device over a ('data',) mesh
+# ---------------------------------------------------------------------------
+
+
+class ShardedScanCodec:
+    """Decode (or teacher-force-encode) D independent streams, one per mesh
+    device, in the wall time of one: shard_map over a ('data',) mesh runs
+    the B=1 scan program per shard with replicated weights; there are no
+    collectives (per-stream math is independent), so an N-chip host gets
+    N-fold aggregate codec throughput. Encode and decode share ONE wrapped
+    executable (runtime decode flag), so sharded encode <-> sharded decode
+    is bit-exact by construction; single-device <-> sharded bit-equality is
+    additionally verified by tests/test_scan_multi.py on the CPU mesh."""
+
+    def __init__(self, codec: "ScanWavefrontCodec", mesh):
+        from jax.sharding import PartitionSpec as P
+        assert codec.B == 1, "fan-out shards streams, use a B=1 codec"
+        self.codec, self.mesh = codec, mesh
+        self.D = int(np.prod(mesh.devices.shape))
+        axis = mesh.axis_names[0]
+
+        def call(weights, words, word_off, nbits, teacher, flag):
+            return codec._program_impl(weights, words.reshape(-1), word_off,
+                                       nbits, teacher, flag[0])
+
+        sharded = jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False)
+        self._program = jax.jit(sharded)
+
+    def _run(self, words, word_off, nbits, teacher, decode: bool):
+        codec = self.codec
+        if codec._weights is None:
+            raise RuntimeError("call codec.prepare(ent_params) first")
+        flag = jnp.full((self.D,), decode)
+        return self._program(codec._weights, words, word_off, nbits, teacher,
+                             flag)
+
+    def decode_streams(self, streams):
+        """streams: list of <= D (payload bytes, lane_nbytes) pairs.
+        Returns (len(streams), npart, G, h, w) int32 symbol planes."""
+        codec, D = self.codec, self.D
+        assert len(streams) <= D
+        L, NW = codec.L, codec.NW
+        words = np.zeros((D, NW), np.uint32)
+        nbits = np.zeros((D, L), np.uint32)
+        for d, (payload, lane_nbytes) in enumerate(streams):
+            # lanes are packed at the static worst-case word offsets the
+            # scan program expects (codec.word_off_1)
+            lane_nbytes = np.asarray(lane_nbytes, np.int64)
+            pos = 0
+            for l in range(L):
+                n = int(lane_nbytes[l])
+                lane = np.frombuffer(payload, np.uint8, count=n, offset=pos)
+                pos += n
+                wb = np.zeros(((n + 3) // 4) * 4, np.uint8)
+                wb[:n] = lane
+                w32 = wb.reshape(-1, 4).astype(np.uint32)
+                off = int(codec.word_off_1[l])
+                words[d, off:off + w32.shape[0]] = (
+                    (w32[:, 0] << 24) | (w32[:, 1] << 16)
+                    | (w32[:, 2] << 8) | w32[:, 3])
+                nbits[d, l] = n * 8
+        word_off = np.broadcast_to(codec.word_off_1[None, :],
+                                   (D, L)).astype(np.int32).copy()
+        teacher = jnp.zeros((D, codec.P), jnp.int32)
+        plane, _ = self._run(jnp.asarray(words), jnp.asarray(word_off),
+                             jnp.asarray(nbits), teacher, decode=True)
+        plane = np.asarray(plane[:len(streams)].astype(jnp.uint8)).astype(
+            np.int32)
+        return plane.reshape(len(streams), codec.npart, codec.G, codec.h,
+                             codec.w)
+
+    def encode_planes(self, planes: np.ndarray):
+        """planes: (D', npart, G, h, w) symbols, D' <= D. Returns a list of
+        (payload bytes, lane_nbytes) pairs (same stream format/profile as
+        the B=1 codec: batch=1 in the container header)."""
+        codec, D = self.codec, self.D
+        nreq = planes.shape[0]
+        assert nreq <= D
+        full = np.zeros((D,) + planes.shape[1:], planes.dtype)
+        full[:nreq] = planes
+        teacher = jnp.asarray(full.reshape(D, codec.P).astype(np.int32))
+        words = jnp.zeros((D, codec.NW), jnp.uint32)
+        word_off = jnp.zeros((D, codec.L), jnp.int32)
+        nbits = jnp.zeros((D, codec.L), jnp.uint32)
+        _, packed = self._run(words, word_off, nbits, teacher, decode=False)
+        packed = np.asarray(packed)
+        loff = codec.lane_sym_off.astype(np.int64)
+        out = []
+        for d in range(nreq):
+            payload, lane_nbytes = encode_lanes(packed[d][codec.lane_perm],
+                                                loff, TOTAL)
+            out.append((payload, lane_nbytes))
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -88,8 +88,8 @@ def main():
 
         def prog():
             bufs = [jnp.zeros((B, S, G), codec.dtype)]
-            for _ in range(11):
-                bufs.append(jnp.zeros((B, 3, S, C), codec.dtype))
+            for _ in range(11):                        # subnet-stacked
+                bufs.append(jnp.zeros((B, S, 3 * C), codec.dtype))
 
             def deposit(buf, cells, z):
                 if not use_deposit:
@@ -98,16 +98,11 @@ def main():
 
             def fconv(buf, z, layer):
                 if not use_conv:
-                    win = codec._window(buf, z)
-                    if win.ndim == 5:
-                        win = jnp.broadcast_to(win[:, None],
-                                               (B, 3) + win.shape[1:])
-                    cout_full = layer["k"].shape[-1]
-                    red = jnp.sum(win, axis=(3, 4)) * 1e-12  # (B,3,np,C)
-                    out = jnp.zeros((3, B, npart, h, cout_full),
-                                    jnp.float32)
-                    return out + red.transpose(1, 0, 2, 3)[
-                        :, :, :, None, :1]
+                    win = codec._window(buf, z)        # (B, np, h+4, T, CC)
+                    cout3 = layer["k"].shape[-1]
+                    red = jnp.sum(win, axis=(2, 3)) * 1e-12   # (B, np, CC)
+                    out = jnp.zeros((B, npart, h, cout3), jnp.float32)
+                    return out + red[:, :, None, :1]
                 return codec._frontier_conv(buf, z, layer)
 
             def body(carry, z):
