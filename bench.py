@@ -95,8 +95,29 @@ def main():
     dec_mps = mp * iters / t_dec
     combined = mp * iters / (t_enc + t_dec)
 
+    # ---- MFU of the dense encode path (XLA cost analysis over the two
+    # jitted programs the encode pipeline dispatches) ----
     extra = {}
-    if os.environ.get("BENCH_HIGHRES"):
+    try:
+        from pseudocylindrical_convolution_tpu.codec.pipeline import (
+            _encode_latents_plane, _table_program)
+        import jax.numpy as _jnp
+        f1 = jax.jit(lambda p, x: _encode_latents_plane(p, x, cfg, geom))
+        hcode, plane, _ = f1(params, images[0])
+        c1 = f1.lower(params, images[0]).compile().cost_analysis() or {}
+        c2 = (jax.jit(lambda p, pl: _table_program(p, pl, cfg, geom))
+              .lower(params["ent"], plane.astype(_jnp.float32))
+              .compile().cost_analysis() or {})
+        flops = float(c1.get("flops", 0.0)) + float(c2.get("flops", 0.0))
+        peak = 394e12   # v5e bf16 peak FLOP/s
+        if flops > 0:
+            extra["dense_encode_mfu"] = round(
+                flops * iters / t_dense / peak, 4)
+            extra["dense_encode_gflops_per_image"] = round(flops / 1e9, 1)
+    except Exception:
+        pass
+
+    if not os.environ.get("BENCH_SKIP_HIGHRES"):
         # BASELINE config 4: 2048x4096 (814 wavefront steps), single image
         Hh, Wh = 2048, 4096
         xh = jax.random.uniform(jax.random.PRNGKey(99), (1, 3, Hh, Wh),

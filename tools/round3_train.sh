@@ -1,0 +1,71 @@
+#!/bin/bash
+# Round-3 training marathon: fill the model registry with real trained
+# rate points on the TPU chip.
+#
+#   1. vd=56  (MSE, alpha=3, low rate)   -> demo/mse/1_56.pkl   (model-idx 0)
+#   2. vd=112 (MSE, alpha=1, mid rate)   -> demo/mse/5_112.pkl  (model-idx 4)
+#   3. vd=192 (SSIM, beta=10, gamma=0)   -> demo/ssim/9_192.pkl (model-idx 8)
+#
+# Staged recipe per MSE point (mirrors round 2's vd=96 run and the
+# reference's run.sh --init staging): entropy-init phase from the trained
+# vd=192 full model (encoder/decoder/quant adopted, entropy fresh), then
+# the full alternating phase resumed from the init best. The SSIM point
+# starts from the trained vd=192 MSE params and optimizes
+# beta*(1-SSIM) + alpha*rate (top_alpha switches to 0.01 via beta>0,
+# model_zoo_v2.py:314; validation anchors on the SSIM curve).
+#
+# Run from the repo root, one process at a time on the TPU tunnel:
+#   bash tools/round3_train.sh >/tmp/r3_train.log 2>&1 &
+set -e
+cd "$(dirname "$0")/.."
+
+DATA=/tmp/synth360
+BASE192=demo/train_run_full/ent_opt_192_192_16_best_0.pkl
+COMMON="--img-dir $DATA --train-list $DATA/train.txt --test-list $DATA/test.txt \
+        --difficulty-dict $DATA/train_val.dic --batch-size 4 --acc-batch 1 \
+        --test-batch-size 4"
+
+[ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 150 --n-test 20
+
+train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
+
+# ---- rate point 1: vd=56, alpha=3 ----------------------------------------
+D=demo/train_run_vd56
+echo "=== vd56 init phase ==="
+train --valid-dim 56 --alpha 3 --init --init-from $BASE192 \
+      --epochs 6 --save-dir $D
+echo "=== vd56 full phase ==="
+train --valid-dim 56 --alpha 3 --resume $D/ent_opt_192_56_16_init_best_0.pkl \
+      --epochs 14 --save-dir $D
+cp $D/ent_opt_192_56_16_best_0.pkl demo/mse/1_56.pkl
+echo "=== installed demo/mse/1_56.pkl ==="
+
+# ---- rate point 2: vd=112, alpha=1 ---------------------------------------
+D=demo/train_run_vd112
+echo "=== vd112 init phase ==="
+train --valid-dim 112 --alpha 1 --init --init-from $BASE192 \
+      --epochs 6 --save-dir $D
+echo "=== vd112 full phase ==="
+train --valid-dim 112 --alpha 1 --resume $D/ent_opt_192_112_16_init_best_0.pkl \
+      --epochs 14 --save-dir $D
+cp $D/ent_opt_192_112_16_best_0.pkl demo/mse/5_112.pkl
+echo "=== installed demo/mse/5_112.pkl ==="
+
+# ---- rate point 3: SSIM family, vd=192 -----------------------------------
+D=demo/train_run_ssim192
+mkdir -p demo/ssim
+echo "=== ssim192 phase (from the MSE vd192 model) ==="
+train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
+      --resume demo/mse/10_192.pkl --epochs 12 --save-dir $D
+cp $D/ent_opt_192_192_16_best_0.pkl demo/ssim/9_192.pkl
+echo "=== installed demo/ssim/9_192.pkl ==="
+
+# ---- evaluation: RD tables over the registry -----------------------------
+ls $DATA/test_*.npy | head -6 > /tmp/r3_eval_list.txt
+echo "=== rd_curve (mse registry) ==="
+python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt \
+       --model-indices 0 4 9 --decode
+echo "=== rd_curve (ssim registry) ==="
+python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt --ssim \
+       --model-indices 8 --decode
+echo "=== MARATHON DONE ==="
