@@ -84,7 +84,8 @@ class ScanWavefrontCodec:
 
     def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
-                 num_gaussian: int = 3, dtype=jnp.bfloat16):
+                 num_gaussian: int = 3, dtype=jnp.bfloat16,
+                 conv_chunks: int = 1):
         """dtype: activation-buffer dtype. bf16 (default) halves the window
         gather bytes (the measured per-step bottleneck); the conv still
         accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
@@ -102,6 +103,16 @@ class ScanWavefrontCodec:
         self.B, self.L = batch, lanes
         self.dtype = jnp.dtype(dtype)
         self.cpn, self.ng = cpn, num_gaussian
+        # conv_chunks > 1 splits each layer conv into chunks of output
+        # groups: chunk c of G/chunks groups only computes window slices
+        # [G-g0-c, G-g0+8) (a (c+8)-slice sub-window of the one gathered
+        # window), cutting the sheared conv's G_y redundancy ~chunks-fold
+        # at the cost of `chunks` dispatches per layer. The chunking is an
+        # executable-level choice (like dtype): encoder and decoder share
+        # the program, so bit-exactness is unaffected, but streams are
+        # decodable only by a same-profile executable.
+        assert cfg.ngroup % conv_chunks == 0
+        self.conv_chunks = conv_chunks
         G = cfg.ngroup
         npart = geom.npart
         self.G, self.npart = G, npart
@@ -240,19 +251,51 @@ class ScanWavefrontCodec:
         # minor (no lane-crossing relayout)
         lhs = win.transpose(0, 1, 3, 2, 4).reshape(
             B * npart, G + 8, h + 4, CC)
-        out = jax.lax.conv_general_dilated(
-            lhs, K, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=fg,
-            preferred_element_type=jnp.float32)        # (B*np, G_y, h, co3)
-        # output channel c (subnet s = c // cout_full, group
-        # g = (c % cout_full) // cpn) keeps y-slice G-1-g: masked reduction
-        # over G_y (streaming; replaces flip+diagonal)
-        grp = (np.arange(cout3) % cout_full) // (cout_full // G)
-        sel = (np.arange(G)[:, None] == (G - 1 - grp)[None, :])
-        out = jnp.sum(out * jnp.asarray(sel, out.dtype)[None, :, None],
-                      axis=1)
-        out = out.reshape(B, npart, h, cout3)
+        nch = self.conv_chunks
+        cpg = cout_full // G                           # channels per group
+        if nch == 1:
+            out = jax.lax.conv_general_dilated(
+                lhs, K, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=fg,
+                preferred_element_type=jnp.float32)    # (B*np, G_y, h, co3)
+            # output channel c (subnet s = c // cout_full, group
+            # g = (c % cout_full) // cpg) keeps y-slice G-1-g: masked
+            # reduction over G_y (streaming; replaces flip+diagonal)
+            grp = (np.arange(cout3) % cout_full) // cpg
+            sel = (np.arange(G)[:, None] == (G - 1 - grp)[None, :])
+            out = jnp.sum(out * jnp.asarray(sel, out.dtype)[None, :, None],
+                          axis=1)
+            out = out.reshape(B, npart, h, cout3)
+        else:
+            # chunk of output groups [g0, g0+c): only window slices
+            # [G-g0-c, G-g0+8) contribute; conv output slice i keeps the
+            # channels of group g0 + (c-1-i)
+            c = G // nch
+            souts = []
+            for k in range(nch):
+                g0 = k * c
+                lhs_k = jax.lax.slice_in_dim(lhs, G - g0 - c, G - g0 + 8,
+                                             axis=1)
+                # kernel channels of chunk groups, per subnet block (the O
+                # axis is subnet-major for both fg cases)
+                kcols = np.concatenate(
+                    [np.arange(g0 * cpg, (g0 + c) * cpg) + s * cout_full
+                     for s in range(3)])
+                K_k = K[..., kcols]
+                ock = K_k.shape[-1]                    # chunk out channels
+                o = jax.lax.conv_general_dilated(
+                    lhs_k, K_k, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=fg,
+                    preferred_element_type=jnp.float32)   # (B*np, c, h, ock)
+                gg = (np.arange(ock) % (c * cpg)) // cpg  # group within chunk
+                sel = (np.arange(c)[:, None] == (c - 1 - gg)[None, :])
+                o = jnp.sum(o * jnp.asarray(sel, o.dtype)[None, :, None],
+                            axis=1)                       # (B*np, h, ock)
+                souts.append(o.reshape(B, npart, h, 3, c * cpg))
+            # reassemble subnet-major full channel order (s, g, cpg)
+            out = jnp.concatenate(souts, axis=4).reshape(B, npart, h, cout3)
         out = out + bias.reshape(1, 1, 1, cout3)
         if act is not None:
             a = act.reshape(1, 1, 1, cout3)

@@ -144,3 +144,31 @@ def test_corrupt_stream_decodes_garbage_not_crash(setup):
     dec = codec.decode_streams([(bytes(bad), lane_nbytes)])
     assert dec.shape == (1, 4, cfg.ngroup, H, W)
     assert ((dec >= 0) & (dec <= 7)).all()
+
+
+def test_roundtrip_conv_chunks(setup):
+    """conv_chunks > 1 (the redundancy-cut executable profile) must still
+    round-trip bit-exactly and agree with the unchunked program's coder
+    ranges (same fp32 math, reassociated)."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, conv_chunks=2)
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=13)
+
+    rng = np.random.default_rng(17)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    p0, p1 = ranges(codec0), ranges(codec)
+    d_lo = np.abs((p0 & 0xFFFF).astype(int) - (p1 & 0xFFFF).astype(int))
+    d_hi = np.abs((p0 >> 16).astype(int) - (p1 >> 16).astype(int))
+    assert max(d_lo.max(), d_hi.max()) <= 1
+    assert (p0 != p1).sum() <= 0.01 * p0.size
