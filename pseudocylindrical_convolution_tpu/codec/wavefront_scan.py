@@ -254,11 +254,28 @@ class ScanWavefrontCodec:
         nch = self.conv_chunks
         cpg = cout_full // G                           # channels per group
         if nch == 1:
-            out = jax.lax.conv_general_dilated(
-                lhs, K, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=fg,
-                preferred_element_type=jnp.float32)    # (B*np, G_y, h, co3)
+            if fg == 1:
+                outs = [jax.lax.conv_general_dilated(
+                    lhs, K, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)]  # (B*np,G_y,h,co3)
+            else:
+                # per-subnet convs with sliced lhs/kernel: XLA expands a
+                # feature_group_count=3 conv into a dense block-diagonal
+                # conv on TPU (3x FLOPs; measured +2 ms/step), so the
+                # subnet fusion stays a BUFFER-layout property (3x-wider
+                # gather rows) while the MXU work is per subnet
+                C = CC // 3
+                outs = [jax.lax.conv_general_dilated(
+                    jax.lax.slice_in_dim(lhs, s * C, (s + 1) * C, axis=3),
+                    jax.lax.slice_in_dim(K, s * cout_full,
+                                         (s + 1) * cout_full, axis=3),
+                    (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                    for s in range(3)]
+            out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else \
+                outs[0]
             # output channel c (subnet s = c // cout_full, group
             # g = (c % cout_full) // cpg) keeps y-slice G-1-g: masked
             # reduction over G_y (streaming; replaces flip+diagonal)
@@ -272,23 +289,32 @@ class ScanWavefrontCodec:
             # [G-g0-c, G-g0+8) contribute; conv output slice i keeps the
             # channels of group g0 + (c-1-i)
             c = G // nch
+            C = CC // 3
             souts = []
             for k in range(nch):
                 g0 = k * c
                 lhs_k = jax.lax.slice_in_dim(lhs, G - g0 - c, G - g0 + 8,
                                              axis=1)
-                # kernel channels of chunk groups, per subnet block (the O
-                # axis is subnet-major for both fg cases)
-                kcols = np.concatenate(
-                    [np.arange(g0 * cpg, (g0 + c) * cpg) + s * cout_full
-                     for s in range(3)])
-                K_k = K[..., kcols]
-                ock = K_k.shape[-1]                    # chunk out channels
-                o = jax.lax.conv_general_dilated(
-                    lhs_k, K_k, (1, 1), "VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=fg,
-                    preferred_element_type=jnp.float32)   # (B*np, c, h, ock)
+                ch = np.arange(g0 * cpg, (g0 + c) * cpg)
+                if fg == 1:
+                    kcols = np.concatenate([ch + s * cout_full
+                                            for s in range(3)])
+                    o = jax.lax.conv_general_dilated(
+                        lhs_k, K[..., kcols], (1, 1), "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)  # (B*np,c,h,ock)
+                else:
+                    # per-subnet convs (see the nch == 1 comment on the
+                    # feature_group_count slow path)
+                    o = jnp.concatenate([
+                        jax.lax.conv_general_dilated(
+                            jax.lax.slice_in_dim(lhs_k, s * C, (s + 1) * C,
+                                                 axis=3),
+                            K[..., ch + s * cout_full], (1, 1), "VALID",
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.float32)
+                        for s in range(3)], axis=-1)
+                ock = o.shape[-1]                         # 3 * c * cpg
                 gg = (np.arange(ock) % (c * cpg)) // cpg  # group within chunk
                 sel = (np.arange(c)[:, None] == (c - 1 - gg)[None, :])
                 o = jnp.sum(o * jnp.asarray(sel, o.dtype)[None, :, None],
