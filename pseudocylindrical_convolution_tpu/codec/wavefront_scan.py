@@ -85,7 +85,7 @@ class ScanWavefrontCodec:
     def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
                  num_gaussian: int = 3, dtype=jnp.bfloat16,
-                 conv_chunks: int = 1):
+                 conv_chunks: int = 1, window_mode: str = "gather"):
         """dtype: activation-buffer dtype. bf16 (default) halves the window
         gather bytes (the measured per-step bottleneck); the conv still
         accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
@@ -113,12 +113,28 @@ class ScanWavefrontCodec:
         # decodable only by a same-profile executable.
         assert cfg.ngroup % conv_chunks == 0
         self.conv_chunks = conv_chunks
+        # window_mode "slab": buffer rows are physically padded
+        # (causal-left zeros, circular-wrap columns materialized at deposit
+        # time), so the per-layer window is 16 contiguous dynamic slices
+        # (one parallelogram slab per band + h static row shifts) instead
+        # of a 7k-row gather; the 4 vertical-pad rows stay table gathers.
+        # Executable-level profile like dtype/conv_chunks.
+        assert window_mode in ("gather", "slab")
+        self.window_mode = window_mode
         G = cfg.ngroup
         npart = geom.npart
         self.G, self.npart = G, npart
         self.h_out = h * npart
         self.S = npart * h * w                       # per-channel plane size
         self.P = npart * G * h * w                   # symbol plane size
+        self.SW_raw = (G + 8) + h - 1                # slab span (T + h - 1)
+        self.SW = -(-self.SW_raw // 8) * 8           # dynamic-slice width
+        self.LPAD = self.SW_raw
+        wbuf = self.LPAD + w + self.SW + 2
+        self.wbuf = -(-wbuf // 8) * 8
+        # flat per-channel buffer length actually allocated
+        self.Sbuf = (npart * h * self.wbuf if window_mode == "slab"
+                     else self.S)
 
         order, counts, nsteps = wavefront_schedule(geom, h, w, G)
         self.counts, self.nsteps = counts, nsteps
@@ -132,15 +148,29 @@ class ScanWavefrontCodec:
         b, r = i // h, i % h
         grid = (g * self.h_out + i).astype(np.int32)          # CDF grid row
         plane = (((b * G + g) * h + r) * w + j).astype(np.int32)
-        # input plane is channel-last (B, S, G): flat index s*G + g
-        in0 = (((b * h + r) * w + j) * G + g).astype(np.int32)
+        # input plane is channel-last (B, Sbuf, G): flat index s*G + g
+        hindex = np.asarray(geom.hindex(self.h_out, w), np.int64)
+        if window_mode == "slab":
+            col = self.LPAD + j
+            in0 = (((b * h + r) * self.wbuf + col) * G + g).astype(np.int32)
+            # circular-wrap duplicate for the two leftmost valid columns
+            wsent = self.Sbuf * G
+            in0w = np.where(
+                j < 2,
+                (((b * h + r) * self.wbuf + col + hindex[b]) * G + g),
+                wsent).astype(np.int32)
+        else:
+            in0 = (((b * h + r) * w + j) * G + g).astype(np.int32)
+            in0w = None
 
         # per-step padded index arrays (scan xs); sentinels target the
         # one-past-the-end slot of each scatter/gather destination
         mlp = self.maxlenp
         self.xs_grid = np.zeros((nsteps, mlp), np.int32)
         self.xs_plane = np.full((nsteps, mlp), self.P, np.int32)
-        self.xs_in0 = np.full((nsteps, mlp), self.S * G, np.int32)
+        self.xs_in0 = np.full((nsteps, mlp), self.Sbuf * G, np.int32)
+        self.xs_in0w = (np.full((nsteps, mlp), self.Sbuf * G, np.int32)
+                        if in0w is not None else None)
         self.xs_m = np.full((nsteps, mlp), self.nsym, np.int32)
         self.xs_valid = np.zeros((nsteps, mlp), bool)
         lane_counts = np.zeros(lanes, np.int64)
@@ -150,6 +180,8 @@ class ScanWavefrontCodec:
             self.xs_grid[z, :n] = grid[o:o + n]
             self.xs_plane[z, :n] = plane[o:o + n]
             self.xs_in0[z, :n] = in0[o:o + n]
+            if in0w is not None:
+                self.xs_in0w[z, :n] = in0w[o:o + n]
             self.xs_m[z, :n] = np.arange(o, o + n)
             self.xs_valid[z, :n] = True
             lane_of_m[o:o + n] = np.arange(n) % lanes
@@ -233,24 +265,98 @@ class ScanWavefrontCodec:
             + jax.lax.slice_in_dim(gp, 2, 4, axis=2)
         return jnp.concatenate([top, mid, bot], axis=2)
 
+    @functools.cached_property
+    def _slab_tables(self):
+        """Pad-row 2-tap tables remapped to the slab (padded-row) layout.
+
+        Returns (idxp (2, npart, 4, w+5), wgtp same) for the 4 vertical-pad
+        rows only; indices address the flat (npart*h*wbuf) padded buffer."""
+        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        prow = np.r_[0:2, self.h + 2:self.h + 4]
+        idx = idxp_np[:, :, prow].astype(np.int64)
+        wgt = wgtp_np[:, :, prow]
+        idx = (idx // self.w) * self.wbuf + self.LPAD + idx % self.w
+        return idx.astype(np.int32), wgt
+
+    def _interior_slab(self, buf, z):
+        """Interior window rows via one contiguous dynamic slice per band.
+
+        buf: (B, Sbuf, CC) padded flat buffer. The window's interior value
+        at (b, r, t) is padded-row col j = z - G - 3 - h*b - r + t, a
+        parallelogram over (r, t); one (h, SW)-slab dynamic slice at
+        col z - G - 3 - h*b - (h-1) plus h static row shifts covers it.
+        Causal-left zeros / validity / circular wrap are physical in the
+        slab layout (wrap columns written by _deposit), so no masking.
+        Returns (B, npart, T, h, CC)."""
+        G, h, npart, B = self.G, self.h, self.npart, self.B
+        T = G + 8
+        wbuf, LPAD, SW = self.wbuf, self.LPAD, self.SW
+        bufv = buf.reshape(B, npart, h, wbuf, buf.shape[-1])
+        outs = []
+        for b in range(npart):
+            sc = z - G - 3 - h * b - (h - 1)
+            scc = jnp.clip(sc, -self.SW_raw, self.w + 2)
+            blk = jax.lax.dynamic_slice_in_dim(
+                bufv[:, b], scc + LPAD, SW, axis=2)     # (B, h, SW, CC)
+            rows = [jax.lax.slice_in_dim(blk[:, r], h - 1 - r,
+                                         h - 1 - r + T, axis=1)
+                    for r in range(h)]
+            outs.append(jnp.stack(rows, axis=1))        # (B, h, T, CC)
+        win = jnp.stack(outs, axis=1)                   # (B, np, h, T, CC)
+        return win.transpose(0, 1, 3, 2, 4)
+
+    def _pad_rows_slab(self, buf, z):
+        """The 4 vertical-pad window rows as 2-tap table gathers (slab
+        layout). Returns (B, npart, 4, T, CC)."""
+        idx_np, wgt_np = self._slab_tables
+        idxp, wgtp = jnp.asarray(idx_np), jnp.asarray(
+            wgt_np.astype(self.dtype))
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        T = G + 8
+        prow = np.r_[0:2, h + 2:h + 4]
+        b = jnp.arange(npart)[:, None, None]
+        rp = jnp.asarray(prow)[None, :, None]
+        t = jnp.arange(T)[None, None, :]
+        cp = z - G + 1 - h * b + t - rp               # (npart, 4, T)
+        oob = (cp < 0) | (cp >= w + 4)
+        cc = jnp.where(oob, w + 4, cp)                # sentinel column
+        i0 = jnp.take_along_axis(idxp[0], cc, axis=2)
+        w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)[..., None]
+        i1 = jnp.take_along_axis(idxp[1], cc, axis=2)
+        w1 = jnp.take_along_axis(wgtp[1], cc, axis=2)[..., None]
+        return (jnp.take(buf, i0, axis=1) * w0
+                + jnp.take(buf, i1, axis=1) * w1)
+
+    def _lhs(self, buf, z):
+        """Window as conv lhs (B*npart, T, h+4, CC) for either mode."""
+        G, h, B, npart = self.G, self.h, self.B, self.npart
+        if self.window_mode == "gather":
+            win = self._window(buf, z)                 # (B, np, h+4, T, CC)
+            return win.transpose(0, 1, 3, 2, 4).reshape(
+                B * npart, G + 8, h + 4, win.shape[-1])
+        interior = self._interior_slab(buf, z)         # (B, np, T, h, CC)
+        pads = self._pad_rows_slab(buf, z)             # (B, np, 4, T, CC)
+        padsT = pads.transpose(0, 1, 3, 2, 4)          # (B, np, T, 4, CC)
+        lhs = jnp.concatenate(
+            [padsT[:, :, :, 0:2], interior, padsT[:, :, :, 2:4]], axis=3)
+        return lhs.reshape(B * npart, G + 8, h + 4, lhs.shape[-1])
+
     def _frontier_conv(self, buf, z, layer):
         """One layer's new frontier cells via the sheared-kernel conv.
 
-        buf: (B, S, CC) subnet-stacked layer buffer [or (B, S, G) input
-        plane]; returns channel-last cells (B, npart, h, 3*C_out)."""
+        buf: (B, Sbuf, CC) subnet-stacked layer buffer [or (B, Sbuf, G)
+        input plane]; returns channel-last cells (B, npart, h, 3*C_out)."""
         G, h, B, npart = self.G, self.h, self.B, self.npart
         K, bias, act = layer["k"], layer["b"], layer["a"]
         cout3 = K.shape[-1]                            # 3 * cout_full
         cout_full = cout3 // 3
-        win = self._window(buf, z)                     # (B, np, h+4, T, CC)
-        CC = win.shape[-1]
+        # (B*npart, T, rp, CC): batch/spatial reorder only, CC stays
+        # minor (no lane-crossing relayout)
+        lhs = self._lhs(buf, z)
+        CC = lhs.shape[-1]
         # input plane (CC == G): one dense conv; hidden layers: grouped
         # conv, one feature group per parameter subnet (static by shape)
         fg = 1 if CC == G else 3
-        # -> (B*npart, T, rp, CC): batch/spatial reorder only, CC stays
-        # minor (no lane-crossing relayout)
-        lhs = win.transpose(0, 1, 3, 2, 4).reshape(
-            B * npart, G + 8, h + 4, CC)
         nch = self.conv_chunks
         cpg = cout_full // G                           # channels per group
         if nch == 1:
@@ -344,13 +450,22 @@ class ScanWavefrontCodec:
         grp = jnp.asarray((np.arange(CC) % C) // (C // G))     # (CC,)
         b = jnp.arange(npart)[:, None, None, None]
         r = jnp.arange(h)[None, :, None, None]
-        j = jnp.arange(w)[None, None, :, None]
         tgt = z - grp[None, None, None, :] - (h * b + r)       # (np,h,1,CC)+j
         wl = jnp.asarray(np.asarray(self.geom.hindex(self.h_out, w)))[
             :, None, None, None]
-        mask = (j == tgt) & (j < wl)                           # (np,h,w,CC)
+        if self.window_mode == "slab":
+            # padded-row layout: store at LPAD + tgt, plus the circular-
+            # wrap duplicate at LPAD + wl + tgt for the two leftmost
+            # valid columns (physical wrap; _interior_slab relies on it)
+            jj = jnp.arange(self.wbuf)[None, None, :, None]
+            j = jj - self.LPAD
+            mask = ((j == tgt) & (j >= 0) & (j < wl)) \
+                | ((j == tgt + wl) & (tgt >= 0) & (tgt < jnp.minimum(wl, 2)))
+        else:
+            j = jnp.arange(w)[None, None, :, None]
+            mask = (j == tgt) & (j < wl)                       # (np,h,w,CC)
         upd = jnp.where(mask[None], cells.astype(buf.dtype)[:, :, :, None, :],
-                        jnp.zeros((), buf.dtype))          # (B,np,h,w,CC)
+                        jnp.zeros((), buf.dtype))          # (B,np,h,wb,CC)
         return buf + upd.reshape(buf.shape)
 
     # ------------------------------------------------------------------
@@ -362,7 +477,7 @@ class ScanWavefrontCodec:
         Returns (symbol plane (B, P) int32, packed ranges (B, nsym) uint32).
         """
         B, L, G, h, w = self.B, self.L, self.G, self.h, self.w
-        npart, S, P = self.npart, self.S, self.P
+        npart, S, P = self.npart, self.Sbuf, self.P
         cpn, ng, R = self.cpn, self.ng, self.R
         C = G * cpn
 
@@ -373,9 +488,13 @@ class ScanWavefrontCodec:
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
 
+        if self.xs_in0w is not None:     # slab: one scatter incl. wrap dups
+            xs_in0 = np.concatenate([self.xs_in0, self.xs_in0w], axis=1)
+        else:
+            xs_in0 = self.xs_in0
         xs = (jnp.arange(self.nsteps),
               jnp.asarray(self.xs_grid), jnp.asarray(self.xs_plane),
-              jnp.asarray(self.xs_in0), jnp.asarray(self.xs_m),
+              jnp.asarray(xs_in0), jnp.asarray(self.xs_m),
               jnp.asarray(self.xs_valid))
 
         def body(carry, x):
@@ -454,9 +573,11 @@ class ScanWavefrontCodec:
             pk = lowv | ((highv - jnp.uint32(1)) << jnp.uint32(16))
             out_plane = out_plane.at[:, plane_sel].set(syi, mode="drop")
             packed = packed.at[:, m_sel].set(pk, mode="drop")
+            vals = (sy_all.astype(jnp.float32) - BIAS).astype(self.dtype)
+            if in0_sel.shape[-1] != vals.shape[-1]:   # slab wrap duplicates
+                vals = jnp.concatenate([vals, vals], axis=-1)
             new_in0 = bufs[0].reshape(B, S * G).at[:, in0_sel].set(
-                (sy_all.astype(jnp.float32) - BIAS).astype(self.dtype),
-                mode="drop")
+                vals, mode="drop")
             bufs[0] = new_in0.reshape(B, S, G)
             return (bufs, ac, out_plane, packed), None
 

@@ -172,3 +172,52 @@ def test_roundtrip_conv_chunks(setup):
     d_hi = np.abs((p0 >> 16).astype(int) - (p1 >> 16).astype(int))
     assert max(d_lo.max(), d_hi.max()) <= 1
     assert (p0 != p1).sum() <= 0.01 * p0.size
+
+
+def test_roundtrip_window_slab(setup):
+    """window_mode='slab' (padded rows + per-band dynamic-slice windows,
+    deposit-materialized circular wrap) must round-trip bit-exactly and
+    agree with the gather-mode program's coder ranges."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="slab")
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=23)
+
+    rng = np.random.default_rng(29)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    p0, p1 = ranges(codec0), ranges(codec)
+    d_lo = np.abs((p0 & 0xFFFF).astype(int) - (p1 & 0xFFFF).astype(int))
+    d_hi = np.abs((p0 >> 16).astype(int) - (p1 >> 16).astype(int))
+    assert max(d_lo.max(), d_hi.max()) <= 1
+    assert (p0 != p1).sum() <= 0.01 * p0.size
+
+
+def test_roundtrip_window_slab_wide():
+    """Slab mode on the ragged 8-band wide geometry (hindex spread) --
+    exercises per-band wrap materialization and slab clamping."""
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=8)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(2), cfg)
+    h, w = 4, 32
+    codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                               window_mode="slab")
+    codec.prepare(params["ent"])
+    hindex = geom.hindex(h * 8, w)
+    mask = np.zeros((8, cfg.ngroup, h, w), bool)
+    for b in range(8):
+        mask[b, :, :, :int(hindex[b])] = True
+    rng = np.random.default_rng(31)
+    planes = rng.integers(0, 8, (1, 8, cfg.ngroup, h, w)).astype(np.int32)
+    streams = codec.encode_planes(planes)
+    dec = codec.decode_streams(streams)
+    assert ((dec == planes) | ~mask[None]).all()
