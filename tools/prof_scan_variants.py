@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--chunks", type=int, nargs="*", default=[1, 2, 3, 4])
     ap.add_argument("--lanes", type=int, nargs="*", default=[256])
     ap.add_argument("--batch", type=int, nargs="*", default=[1])
+    ap.add_argument("--window", nargs="*", default=["gather"])
     args = ap.parse_args()
 
     import jax
@@ -46,9 +47,10 @@ def main():
     h, w = H // geom.npart // 8, W // 8
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
 
-    for nch, L, B in itertools.product(args.chunks, args.lanes, args.batch):
+    for nch, L, B, wm in itertools.product(args.chunks, args.lanes,
+                                           args.batch, args.window):
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=B, lanes=L,
-                                   conv_chunks=nch)
+                                   conv_chunks=nch, window_mode=wm)
         codec.prepare(params["ent"])
         teacher = jnp.zeros((B, codec.P), jnp.int32)
         zwords = jnp.zeros((B * codec.NW,), jnp.uint32)
@@ -68,7 +70,7 @@ def main():
                                        decode=False))
         td = timeit(lambda: codec._run(zwords, zoff, znb, teacher,
                                        decode=True))
-        print(f"chunks={nch} lanes={L} B={B}: "
+        print(f"chunks={nch} lanes={L} B={B} win={wm}: "
               f"enc {te*1e3:7.0f} ms ({te/codec.nsteps*1e3:5.2f} ms/step)  "
               f"dec {td*1e3:7.0f} ms ({td/codec.nsteps*1e3:5.2f} ms/step)",
               flush=True)
