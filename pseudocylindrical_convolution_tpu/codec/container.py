@@ -13,10 +13,11 @@ Layout (big-endian):
   mode   u8   0 = dense (codec/pipeline.py), 1 = scan (wavefront_scan.py),
               2 = incremental (codec/incremental.py)
   npart  u8
-  flags  u8   bit 0 (FLAG_BF16): scan program ran with bf16 activation
-              buffers; bit 1 reserved (was an experimental buffer layout).
-              Streams are only decodable by the same-profile executable,
-              so a mismatch must fail loudly
+  flags  u8   scan executable profile; streams are only decodable by a
+              same-profile executable, so a mismatch must fail loudly.
+              bit 0 (FLAG_BF16): bf16 activation buffers; bit 1 reserved
+              (was an experimental buffer layout); bit 2 (FLAG_SLAB):
+              slab window mode; bits 4-7: conv_chunks - 1
   vdim   u16  valid_dim
   h, w   u16  latent plane dims
   lanes  u16  scan mode only (0 for dense)
@@ -38,6 +39,8 @@ MODE_DENSE = 0
 MODE_SCAN = 1
 MODE_INCR = 2
 FLAG_BF16 = 1
+FLAG_SLAB = 4
+CHUNKS_SHIFT = 4        # bits 4-7 hold conv_chunks - 1
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 

@@ -202,6 +202,17 @@ class ScanWavefrontCodec:
                                 donate_argnums=())
         self._weights = None
 
+    @property
+    def profile_flags(self) -> int:
+        """Container flags encoding the executable profile (dtype, window
+        mode, conv chunking): streams decode only on a matching profile."""
+        from pseudocylindrical_convolution_tpu.codec import container
+        f = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
+        if self.window_mode == "slab":
+            f |= container.FLAG_SLAB
+        f |= (self.conv_chunks - 1) << container.CHUNKS_SHIFT
+        return f
+
     # ------------------------------------------------------------------
     def prepare(self, ent_params):
         """Stack, mask, shear, and subnet-fuse the entropy-net weights.
@@ -621,7 +632,7 @@ class ScanWavefrontCodec:
         slots are dropped). Returns file sizes."""
         from pseudocylindrical_convolution_tpu.codec import container
         streams = self.encode_planes(planes)
-        flags = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
+        flags = self.profile_flags
         sizes = []
         for (payload, lane_nbytes), fn in zip(streams, fnames):
             sizes.append(container.write_stream(
@@ -643,8 +654,7 @@ class ScanWavefrontCodec:
                     f"{fn}: stream was encoded for a (batch={hdr['batch']}, "
                     f"lanes={hdr['lanes']}) executable, decoder is "
                     f"(batch={self.B}, lanes={self.L})")
-            want_flags = (container.FLAG_BF16
-                          if self.dtype == jnp.bfloat16 else 0)
+            want_flags = self.profile_flags
             if hdr.get("flags", 0) != want_flags:
                 raise ValueError(
                     f"{fn}: stream profile flags {hdr.get('flags', 0)} do "
@@ -802,15 +812,29 @@ class ShardedScanCodec:
 
 _CODEC_CACHE = {}
 
+# Defaults for the shipped executable profile; chosen by on-chip A/B
+# (tools/prof_scan_variants.py). get_scan_codec falls back to chunks=1 when
+# a config's group count is not divisible.
+DEFAULT_CONV_CHUNKS = 1
+DEFAULT_WINDOW_MODE = "gather"
+
 
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
-                   batch: int, lanes: int,
-                   dtype=jnp.bfloat16) -> ScanWavefrontCodec:
-    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype))
+                   batch: int, lanes: int, dtype=jnp.bfloat16,
+                   conv_chunks: int | None = None,
+                   window_mode: str | None = None) -> ScanWavefrontCodec:
+    if conv_chunks is None:
+        conv_chunks = DEFAULT_CONV_CHUNKS if cfg.ngroup % \
+            DEFAULT_CONV_CHUNKS == 0 else 1
+    if window_mode is None:
+        window_mode = DEFAULT_WINDOW_MODE
+    key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype), conv_chunks,
+           window_mode)
     codec = _CODEC_CACHE.get(key)
     if codec is None:
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes,
-                                   dtype=dtype)
+                                   dtype=dtype, conv_chunks=conv_chunks,
+                                   window_mode=window_mode)
         _CODEC_CACHE[key] = codec
     return codec
 
@@ -857,7 +881,7 @@ def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
         znb = jnp.zeros((batch, codec.L), jnp.uint32)
         _, packed = codec._run(words, zoff, znb, teacher, decode=False)
         pending.append((packed, fnames[o:o + batch]))
-    flags = container.FLAG_BF16 if codec.dtype == jnp.bfloat16 else 0
+    flags = codec.profile_flags
     sizes = []
     loff = codec.lane_sym_off.astype(np.int64)
     for packed, fns in pending:
@@ -893,10 +917,14 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     hdr0 = container.read_stream(fnames[0])
     container.check_stream(hdr0, fnames[0], container.MODE_SCAN, geom.npart,
                            cfg.valid_dim, h, w)
-    dtype = (jnp.bfloat16 if hdr0.get("flags", 0) & container.FLAG_BF16
-             else jnp.float32)
+    flags = hdr0.get("flags", 0)
+    dtype = jnp.bfloat16 if flags & container.FLAG_BF16 else jnp.float32
+    window_mode = "slab" if flags & container.FLAG_SLAB else "gather"
+    conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
-                                     int(hdr0["lanes"]), dtype=dtype),
+                                     int(hdr0["lanes"]), dtype=dtype,
+                                     conv_chunks=conv_chunks,
+                                     window_mode=window_mode),
                       params["ent"])
     pending = []
     for o in range(0, len(fnames), codec.B):
