@@ -22,12 +22,15 @@ the flat activation buffer through the causal 2-tap pad tables. That keeps
 the MXU contraction at full channel width (cout = G*cpn) instead of the
 per-group 3-row matmuls a direct frontier gather produces.
 
-Memory layout is channel-LAST ((..., S, C)) so the window gather fetches
-contiguous C-sized rows (the TPU vector lane axis) instead of strided
-scalars, and frontier write-back is a masked full-buffer add (iota == diag
-comparison fused by XLA into one streaming pass) instead of an XLA scatter
--- ablation on a v5e chip showed the channel-major gather + scatter pair
-cost ~8 of the 12 ms/step (tools/prof_scan_ablate.py).
+Memory layout is channel-LAST and subnet-stacked ((B, S, 3C)) so the window
+gather fetches contiguous 3C-sized rows (the TPU vector lane axis; all
+three parameter subnets share one gather) instead of strided scalars, and
+frontier write-back is a masked full-buffer add (iota == diag comparison
+fused by XLA into one streaming pass) instead of an XLA scatter -- ablation
+on a v5e chip showed the channel-major gather + scatter pair cost ~8 of the
+12 ms/step (tools/prof_scan_ablate.py). Each layer's conv runs in
+`conv_chunks` group chunks over sub-windows (cuts the sheared conv's G_y
+redundancy ~chunks-fold; ARCHITECTURE.md §8 round-3 pass).
 
 Bit-exactness is structural: the encoder teacher-forces the SAME compiled
 program (a runtime mode flag selects symbol source via lax.cond; both modes
