@@ -818,7 +818,7 @@ _CODEC_CACHE = {}
 # Defaults for the shipped executable profile; chosen by on-chip A/B
 # (tools/prof_scan_variants.py). get_scan_codec falls back to chunks=1 when
 # a config's group count is not divisible.
-DEFAULT_CONV_CHUNKS = 1
+DEFAULT_CONV_CHUNKS = 4
 DEFAULT_WINDOW_MODE = "gather"
 
 
