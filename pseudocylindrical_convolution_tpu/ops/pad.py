@@ -172,13 +172,52 @@ def build_pad_tables(geom: Geometry, h: int, width: int, pad: int,
 
 
 def pseudo_pad(x, geom: Geometry, pad: int, causal: bool = False):
-    """Pad a tiled tensor (N*npart, C, h, W) -> (N*npart, C, h+2p, W+2p)."""
+    """Pad a tiled tensor (N*npart, C, h, W) -> (N*npart, C, h+2p, W+2p).
+
+    Hybrid evaluation (values identical to the pure 2-tap table gather,
+    tested against the scalar oracle): the interior rows are a streaming
+    validity-mask multiply plus per-band circular-wrap column fix-ups
+    (iota-masked adds for the right wrap, a pad-column gather for the
+    left), and only the 2*pad vertical-pad rows go through the 2-tap
+    interpolation tables. The original formulation gathered every output
+    element through the tables -- a minor-axis element gather over the
+    whole (h+2p, W+2p) tensor, the dominant non-conv cost of the
+    transform stack on TPU."""
     npart = geom.npart
     nb, c, h, w = x.shape
     n = nb // npart
+    w2 = w + 2 * pad
     idx, wgt = build_pad_tables(geom, h, w, pad, causal)
-    xf = x.reshape(n, npart, c, h * w).transpose(0, 2, 1, 3).reshape(n, c, -1)
-    out = (jnp.take(xf, idx[0], axis=-1) * wgt[0]
-           + jnp.take(xf, idx[1], axis=-1) * wgt[1])
-    # out: (n, c, npart, h+2p, w+2p) -> (n*npart, c, h+2p, w+2p)
-    return out.transpose(0, 2, 1, 3, 4).reshape(nb, c, h + 2 * pad, w + 2 * pad)
+    hindex = np.asarray(geom.hindex(h * npart, w), np.int64)
+    xg = x.reshape(n, npart, c, h, w)
+
+    # --- interior rows ---
+    imask = (np.arange(w)[None, :] < hindex[:, None])      # (npart, w)
+    xv = xg * jnp.asarray(imask, x.dtype)[None, :, None, None, :]
+    if causal:
+        left = jnp.zeros((n, npart, c, h, pad), x.dtype)
+    else:
+        lcols = (hindex[:, None] - pad + np.arange(pad)[None, :]) % hindex[
+            :, None]                                        # (npart, pad)
+        left = jnp.take_along_axis(
+            xv, jnp.asarray(lcols)[None, :, None, None, :], axis=-1)
+    core = jnp.concatenate(
+        [left, xv, jnp.zeros((n, npart, c, h, pad), x.dtype)], axis=-1)
+    # right circular wrap: out col pad + hindex + d takes column d
+    col2 = np.arange(w2)[None, :]
+    for d in range(pad):
+        m = jnp.asarray(col2 == (pad + hindex[:, None] + d),
+                        x.dtype)[None, :, None, None, :]
+        core = core + m * xv[..., d:d + 1]
+
+    # --- vertical pad rows via the 2-tap tables (rows only) ---
+    prow = np.r_[0:pad, pad + h:2 * pad + h]
+    xf = xg.transpose(0, 2, 1, 3, 4).reshape(n, c, -1)
+    pi, pw = idx[:, :, prow], wgt[:, :, prow]
+    rows = (jnp.take(xf, pi[0], axis=-1) * pw[0]
+            + jnp.take(xf, pi[1], axis=-1) * pw[1])
+    rows = rows.transpose(0, 2, 1, 3, 4)       # (n, npart, c, 2p, w2)
+
+    out = jnp.concatenate([rows[:, :, :, :pad], core,
+                           rows[:, :, :, pad:]], axis=3)
+    return out.reshape(nb, c, h + 2 * pad, w2)
