@@ -88,7 +88,8 @@ class ScanWavefrontCodec:
     def __init__(self, cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
                  num_gaussian: int = 3, dtype=jnp.bfloat16,
-                 conv_chunks: int = 1, window_mode: str = "gather"):
+                 conv_chunks: int = 1, window_mode: str = "gather",
+                 hoist: bool = False):
         """dtype: activation-buffer dtype. bf16 (default) halves the window
         gather bytes (the measured per-step bottleneck); the conv still
         accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
@@ -124,6 +125,13 @@ class ScanWavefrontCodec:
         # Executable-level profile like dtype/conv_chunks.
         assert window_mode in ("gather", "slab")
         self.window_mode = window_mode
+        # hoist: merge the input plane + 11 hidden buffers into ONE
+        # (B, S, CCC) buffer and gather every layer's interior window rows
+        # in a single stacked gather per step (rows 12x wider, 12x fewer);
+        # same-step frontier cells are patched into the per-layer window
+        # slices t = G+3-g (+ wrap aliases). Gather-mode only.
+        assert not (hoist and window_mode == "slab")
+        self.hoist = hoist
         G = cfg.ngroup
         npart = geom.npart
         self.G, self.npart = G, npart
@@ -153,7 +161,11 @@ class ScanWavefrontCodec:
         plane = (((b * G + g) * h + r) * w + j).astype(np.int32)
         # input plane is channel-last (B, Sbuf, G): flat index s*G + g
         hindex = np.asarray(geom.hindex(self.h_out, w), np.int64)
-        if window_mode == "slab":
+        self.CCC = G + 11 * 3 * G * cpn            # merged channels (hoist)
+        if hoist:
+            in0 = (((b * h + r) * w + j) * self.CCC + g).astype(np.int32)
+            in0w = None
+        elif window_mode == "slab":
             col = self.LPAD + j
             in0 = (((b * h + r) * self.wbuf + col) * G + g).astype(np.int32)
             # circular-wrap duplicate for the two leftmost valid columns
@@ -171,7 +183,8 @@ class ScanWavefrontCodec:
         mlp = self.maxlenp
         self.xs_grid = np.zeros((nsteps, mlp), np.int32)
         self.xs_plane = np.full((nsteps, mlp), self.P, np.int32)
-        self.xs_in0 = np.full((nsteps, mlp), self.Sbuf * G, np.int32)
+        in0_sent = self.Sbuf * (self.CCC if hoist else G)
+        self.xs_in0 = np.full((nsteps, mlp), in0_sent, np.int32)
         self.xs_in0w = (np.full((nsteps, mlp), self.Sbuf * G, np.int32)
                         if in0w is not None else None)
         self.xs_m = np.full((nsteps, mlp), self.nsym, np.int32)
@@ -213,6 +226,8 @@ class ScanWavefrontCodec:
         f = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
         if self.window_mode == "slab":
             f |= container.FLAG_SLAB
+        if self.hoist:
+            f |= container.FLAG_HOIST
         f |= (self.conv_chunks - 1) << container.CHUNKS_SHIFT
         return f
 
@@ -278,6 +293,102 @@ class ScanWavefrontCodec:
         bot = jax.lax.slice_in_dim(win, h + 2, h + 4, axis=2) \
             + jax.lax.slice_in_dim(gp, 2, 4, axis=2)
         return jnp.concatenate([top, mid, bot], axis=2)
+
+    def _pad_rows_g(self, buf, z):
+        """The 4 vertical-pad window rows via the 2-tap tables (gather
+        layout). buf: (B, S, CC); returns (B, npart, 4, T, CC)."""
+        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        prow = np.r_[0:2, h + 2:h + 4]
+        idxp = jnp.asarray(idxp_np[:, :, prow])
+        wgtp = jnp.asarray(wgtp_np[:, :, prow].astype(self.dtype))
+        T = G + 8
+        b = jnp.arange(npart)[:, None, None]
+        rp = jnp.asarray(prow)[None, :, None]
+        t = jnp.arange(T)[None, None, :]
+        cp = z - G + 1 - h * b + t - rp
+        oob = (cp < 0) | (cp >= w + 4)
+        cc = jnp.where(oob, w + 4, cp)
+        i0 = jnp.take_along_axis(idxp[0], cc, axis=2)
+        w0 = jnp.take_along_axis(wgtp[0], cc, axis=2)[..., None]
+        i1 = jnp.take_along_axis(idxp[1], cc, axis=2)
+        w1 = jnp.take_along_axis(wgtp[1], cc, axis=2)[..., None]
+        return (jnp.take(buf, i0, axis=1) * w0
+                + jnp.take(buf, i1, axis=1) * w1)
+
+    def _hoist_window(self, bufH, z):
+        """ONE stacked interior-row gather for every layer's window.
+
+        bufH: (B, S, CCC) merged buffer (input plane channels [0:G], then
+        the 11 hidden buffers' 3C-channel slices). Interior window rows
+        use only pad tap 0 (the neighbour-band lerp tap is provably zero
+        off the 4 vertical-pad rows), so one gather of (npart, h, T)
+        positions with CCC-wide rows serves all 12 layer convs; per-layer
+        same-step frontier cells are patched in by _lhs_hoist. Returns
+        (B, npart, h, T, CCC)."""
+        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        idxp = jnp.asarray(idxp_np[0][:, 2:h + 2])
+        wgtp = jnp.asarray(wgtp_np[0][:, 2:h + 2].astype(self.dtype))
+        T = G + 8
+        b = jnp.arange(npart)[:, None, None]
+        r = jnp.arange(h)[None, :, None]
+        t = jnp.arange(T)[None, None, :]
+        cp = z - G + 1 - h * b + t - (r + 2)
+        oob = (cp < 0) | (cp >= w + 4)
+        cc = jnp.where(oob, w + 4, cp)
+        i0 = jnp.take_along_axis(idxp, cc, axis=2)
+        w0 = jnp.take_along_axis(wgtp, cc, axis=2)[..., None]
+        return jnp.take(bufH, i0, axis=1) * w0
+
+    def _lhs_hoist(self, win_all, bufH, z, li, fresh):
+        """Per-layer conv lhs from the hoisted window.
+
+        li: layer index 0..11 (0 reads the input-plane channels, else
+        hidden buffer li-1); fresh: the cells deposited into that buffer
+        THIS step (None for the input plane -- its symbols were scattered
+        at the end of step z-1), patched into the gathered window at the
+        per-group frontier slices t = G+3-g and the circular-wrap alias
+        slices t = G+3-g+hindex[b]."""
+        G, h, B, npart = self.G, self.h, self.B, self.npart
+        T = G + 8
+        CC3 = 3 * G * self.cpn
+        c0 = 0 if li == 0 else self.G + (li - 1) * CC3
+        c1 = self.G if li == 0 else c0 + CC3
+        win = win_all[..., c0:c1]                     # (B, np, h, T, CC)
+        if fresh is not None:
+            CC = c1 - c0
+            grp = jnp.asarray((np.arange(CC) % (CC // 3)) // self.cpn)
+            b = jnp.arange(npart)[:, None, None, None]
+            r = jnp.arange(h)[None, :, None, None]
+            t = jnp.arange(T)[None, None, :, None]
+            g = grp[None, None, None, :]
+            jstar = z - g - (h * b + r)               # frontier column
+            wl = jnp.asarray(np.asarray(self.geom.hindex(self.h_out,
+                                                         self.w)))[
+                :, None, None, None]
+            m1 = (t == G + 3 - g) & (jstar >= 0) & (jstar < wl)
+            m2 = (t == G + 3 - g + wl) & (jstar >= 0) \
+                & (jstar < jnp.minimum(wl, 2))
+            win = win + jnp.where(
+                (m1 | m2)[None], fresh.astype(win.dtype)[:, :, :, None, :],
+                jnp.zeros((), win.dtype))
+        pads = self._pad_rows_g(
+            jax.lax.slice_in_dim(bufH, c0, c1, axis=2), z)
+        padsT = pads.transpose(0, 1, 3, 2, 4)         # (B, np, T, 4, CC)
+        interior = win.transpose(0, 1, 3, 2, 4)       # (B, np, T, h, CC)
+        lhs = jnp.concatenate(
+            [padsT[:, :, :, 0:2], interior, padsT[:, :, :, 2:4]], axis=3)
+        return lhs.reshape(B * npart, T, h + 4, lhs.shape[-1])
+
+    def _deposit_hoist(self, bufH, cells, z, k):
+        """Deposit cells into hidden buffer k's channel slice of the
+        merged buffer."""
+        CC3 = 3 * self.G * self.cpn
+        c0 = self.G + k * CC3
+        sl = jax.lax.slice_in_dim(bufH, c0, c0 + CC3, axis=2)
+        return jax.lax.dynamic_update_slice(
+            bufH, self._deposit(sl, cells, z), (0, 0, c0))
 
     @functools.cached_property
     def _slab_tables(self):
@@ -360,13 +471,14 @@ class ScanWavefrontCodec:
 
         buf: (B, Sbuf, CC) subnet-stacked layer buffer [or (B, Sbuf, G)
         input plane]; returns channel-last cells (B, npart, h, 3*C_out)."""
+        return self._conv_cells(self._lhs(buf, z), layer)
+
+    def _conv_cells(self, lhs, layer):
+        """Apply one layer's sheared conv to a prebuilt window lhs."""
         G, h, B, npart = self.G, self.h, self.B, self.npart
         K, bias, act = layer["k"], layer["b"], layer["a"]
         cout3 = K.shape[-1]                            # 3 * cout_full
         cout_full = cout3 // 3
-        # (B*npart, T, rp, CC): batch/spatial reorder only, CC stays
-        # minor (no lane-crossing relayout)
-        lhs = self._lhs(buf, z)
         CC = lhs.shape[-1]
         # input plane (CC == G): one dense conv; hidden layers: grouped
         # conv, one feature group per parameter subnet (static by shape)
@@ -495,9 +607,12 @@ class ScanWavefrontCodec:
         cpn, ng, R = self.cpn, self.ng, self.R
         C = G * cpn
 
-        bufs = [jnp.zeros((B, S, G), self.dtype)]        # channel-last
-        for _ in range(11):                              # subnet-stacked
-            bufs.append(jnp.zeros((B, S, 3 * C), self.dtype))
+        if self.hoist:                                   # merged buffer
+            bufs = [jnp.zeros((B, S, self.CCC), self.dtype)]
+        else:
+            bufs = [jnp.zeros((B, S, G), self.dtype)]    # channel-last
+            for _ in range(11):                          # subnet-stacked
+                bufs.append(jnp.zeros((B, S, 3 * C), self.dtype))
         ac = device_ac.init_state(words, word_off, nbits)
         out_plane = jnp.zeros((B, P + 1), jnp.int32)
         packed = jnp.zeros((B, self.nsym + 1), jnp.uint32)
@@ -515,19 +630,48 @@ class ScanWavefrontCodec:
             bufs, ac, out_plane, packed = carry
             z, grid_sel, plane_sel, in0_sel, m_sel, valid = x
 
-            y0 = self._frontier_conv(bufs[0], z, weights[0])
-            bufs[1] = self._deposit(bufs[1], y0, z)
-            ycells = y0
-            for blk in range(5):
-                li = 1 + 2 * blk
-                c1 = self._frontier_conv(bufs[1 + 2 * blk], z, weights[li])
-                bufs[2 + 2 * blk] = self._deposit(bufs[2 + 2 * blk], c1, z)
-                c2 = self._frontier_conv(bufs[2 + 2 * blk], z,
-                                         weights[li + 1])
-                ycells = ycells + c2
-                bufs[3 + 2 * blk] = self._deposit(bufs[3 + 2 * blk], ycells,
-                                                  z)
-            out = self._frontier_conv(bufs[11], z, weights[11])
+            if self.hoist:
+                bufH = bufs[0]
+                win_all = self._hoist_window(bufH, z)
+                dep = [None] * 11   # cells deposited into hidden buf k
+                y0 = self._conv_cells(
+                    self._lhs_hoist(win_all, bufH, z, 0, None), weights[0])
+                bufH = self._deposit_hoist(bufH, y0, z, 0)
+                dep[0] = y0
+                ycells = y0
+                for blk in range(5):
+                    li = 1 + 2 * blk
+                    c1 = self._conv_cells(
+                        self._lhs_hoist(win_all, bufH, z, li, dep[2 * blk]),
+                        weights[li])
+                    bufH = self._deposit_hoist(bufH, c1, z, 2 * blk + 1)
+                    dep[2 * blk + 1] = c1
+                    c2 = self._conv_cells(
+                        self._lhs_hoist(win_all, bufH, z, li + 1,
+                                        dep[2 * blk + 1]), weights[li + 1])
+                    ycells = ycells + c2
+                    bufH = self._deposit_hoist(bufH, ycells, z, 2 * blk + 2)
+                    dep[2 * blk + 2] = ycells
+                out = self._conv_cells(
+                    self._lhs_hoist(win_all, bufH, z, 11, dep[10]),
+                    weights[11])
+                bufs = [bufH]
+            else:
+                y0 = self._frontier_conv(bufs[0], z, weights[0])
+                bufs[1] = self._deposit(bufs[1], y0, z)
+                ycells = y0
+                for blk in range(5):
+                    li = 1 + 2 * blk
+                    c1 = self._frontier_conv(bufs[1 + 2 * blk], z,
+                                             weights[li])
+                    bufs[2 + 2 * blk] = self._deposit(bufs[2 + 2 * blk], c1,
+                                                      z)
+                    c2 = self._frontier_conv(bufs[2 + 2 * blk], z,
+                                             weights[li + 1])
+                    ycells = ycells + c2
+                    bufs[3 + 2 * blk] = self._deposit(bufs[3 + 2 * blk],
+                                                      ycells, z)
+                out = self._frontier_conv(bufs[11], z, weights[11])
             # CDF grid (B, G*h_out, 9): grid row = g*h_out + (b*h + r);
             # out channels are subnet-major (s, g, k)
             prm = out.reshape(B, npart, h, 3, G, ng).transpose(
@@ -590,9 +734,10 @@ class ScanWavefrontCodec:
             vals = (sy_all.astype(jnp.float32) - BIAS).astype(self.dtype)
             if in0_sel.shape[-1] != vals.shape[-1]:   # slab wrap duplicates
                 vals = jnp.concatenate([vals, vals], axis=-1)
-            new_in0 = bufs[0].reshape(B, S * G).at[:, in0_sel].set(
+            cin0 = bufs[0].shape[-1]                  # G, or CCC (hoist)
+            new_in0 = bufs[0].reshape(B, S * cin0).at[:, in0_sel].set(
                 vals, mode="drop")
-            bufs[0] = new_in0.reshape(B, S, G)
+            bufs[0] = new_in0.reshape(B, S, cin0)
             return (bufs, ac, out_plane, packed), None
 
         (bufs, ac, out_plane, packed), _ = jax.lax.scan(
@@ -820,24 +965,28 @@ _CODEC_CACHE = {}
 # a config's group count is not divisible.
 DEFAULT_CONV_CHUNKS = 4
 DEFAULT_WINDOW_MODE = "gather"
+DEFAULT_HOIST = False
 
 
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                    batch: int, lanes: int, dtype=jnp.bfloat16,
                    conv_chunks: int | None = None,
-                   window_mode: str | None = None) -> ScanWavefrontCodec:
+                   window_mode: str | None = None,
+                   hoist: bool | None = None) -> ScanWavefrontCodec:
     if conv_chunks is None:
         conv_chunks = DEFAULT_CONV_CHUNKS if cfg.ngroup % \
             DEFAULT_CONV_CHUNKS == 0 else 1
     if window_mode is None:
         window_mode = DEFAULT_WINDOW_MODE
+    if hoist is None:
+        hoist = DEFAULT_HOIST and window_mode == "gather"
     key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype), conv_chunks,
-           window_mode)
+           window_mode, hoist)
     codec = _CODEC_CACHE.get(key)
     if codec is None:
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes,
                                    dtype=dtype, conv_chunks=conv_chunks,
-                                   window_mode=window_mode)
+                                   window_mode=window_mode, hoist=hoist)
         _CODEC_CACHE[key] = codec
     return codec
 
@@ -924,10 +1073,11 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     dtype = jnp.bfloat16 if flags & container.FLAG_BF16 else jnp.float32
     window_mode = "slab" if flags & container.FLAG_SLAB else "gather"
     conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
+    hoist = bool(flags & container.FLAG_HOIST)
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
                                      int(hdr0["lanes"]), dtype=dtype,
                                      conv_chunks=conv_chunks,
-                                     window_mode=window_mode),
+                                     window_mode=window_mode, hoist=hoist),
                       params["ent"])
     pending = []
     for o in range(0, len(fnames), codec.B):

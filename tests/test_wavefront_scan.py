@@ -221,3 +221,64 @@ def test_roundtrip_window_slab_wide():
     streams = codec.encode_planes(planes)
     dec = codec.decode_streams(streams)
     assert ((dec == planes) | ~mask[None]).all()
+
+
+def test_roundtrip_hoist(setup):
+    """hoist mode (merged buffer, one stacked interior gather + per-layer
+    frontier patches) must produce BIT-IDENTICAL coder ranges to the
+    per-layer gather program (the window values are the same exact
+    gathers/adds) and round-trip."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, hoist=True)
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=37)
+
+    rng = np.random.default_rng(41)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(codec0), ranges(codec))
+
+
+def test_roundtrip_hoist_wrap_alias():
+    """Narrow pole bands (hindex < g+5) put the circular-wrap alias patch
+    slices inside the window -- the hardest hoist-correctness corner."""
+    cfg = CMPNetConfig(valid_dim=32, channels=8, code_channels=32, npart=4)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(5), cfg)
+    h, w = 2, 8
+    hindex = geom.hindex(h * 4, w)
+    assert int(min(hindex)) < cfg.ngroup + 4   # aliases actually in-window
+    c0 = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                            dtype=jnp.float32)
+    c0.prepare(params["ent"])
+    c1 = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                            dtype=jnp.float32, hoist=True)
+    c1.prepare(params["ent"])
+    rng = np.random.default_rng(13)
+    planes = rng.integers(0, 8, (1, 4, cfg.ngroup, h, w)).astype(np.int32)
+    for b in range(4):
+        planes[:, b, :, :, hindex[b]:] = 0
+    teacher = jnp.asarray(planes.reshape(1, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((1, 8), jnp.int32),
+                            jnp.zeros((1, 8), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(c0), ranges(c1))
+    mask = np.zeros((4, cfg.ngroup, h, w), bool)
+    for b in range(4):
+        mask[b, :, :, :int(hindex[b])] = True
+    dec = c1.decode_streams(c1.encode_planes(planes))
+    assert ((dec == planes) | ~mask[None]).all()
