@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--lanes", type=int, nargs="*", default=[256])
     ap.add_argument("--batch", type=int, nargs="*", default=[1])
     ap.add_argument("--window", nargs="*", default=["gather"])
+    ap.add_argument("--hoist", type=int, nargs="*", default=[0])
     args = ap.parse_args()
 
     import jax
@@ -47,10 +48,12 @@ def main():
     h, w = H // geom.npart // 8, W // 8
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
 
-    for nch, L, B, wm in itertools.product(args.chunks, args.lanes,
-                                           args.batch, args.window):
+    for nch, L, B, wm, ho in itertools.product(args.chunks, args.lanes,
+                                               args.batch, args.window,
+                                               args.hoist):
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=B, lanes=L,
-                                   conv_chunks=nch, window_mode=wm)
+                                   conv_chunks=nch, window_mode=wm,
+                                   hoist=bool(ho))
         codec.prepare(params["ent"])
         teacher = jnp.zeros((B, codec.P), jnp.int32)
         zwords = jnp.zeros((B * codec.NW,), jnp.uint32)
@@ -70,7 +73,7 @@ def main():
                                        decode=False))
         td = timeit(lambda: codec._run(zwords, zoff, znb, teacher,
                                        decode=True))
-        print(f"chunks={nch} lanes={L} B={B} win={wm}: "
+        print(f"chunks={nch} lanes={L} B={B} win={wm} hoist={ho}: "
               f"enc {te*1e3:7.0f} ms ({te/codec.nsteps*1e3:5.2f} ms/step)  "
               f"dec {td*1e3:7.0f} ms ({td/codec.nsteps*1e3:5.2f} ms/step)",
               flush=True)
