@@ -14,6 +14,9 @@
 # beta*(1-SSIM) + alpha*rate (top_alpha switches to 0.01 via beta>0,
 # model_zoo_v2.py:314; validation anchors on the SSIM curve).
 #
+# Budgeted for one v5e chip (~20 s per 4-image batch): a 128-image train
+# shard, init 4 + full 8 epochs per MSE point, 8 SSIM epochs.
+#
 # Run from the repo root, one process at a time on the TPU tunnel:
 #   bash tools/round3_train.sh >/tmp/r3_train.log 2>&1 &
 set -e
@@ -21,22 +24,30 @@ cd "$(dirname "$0")/.."
 
 DATA=/tmp/synth360
 BASE192=demo/train_run_full/ent_opt_192_192_16_best_0.pkl
-COMMON="--img-dir $DATA --train-list $DATA/train.txt --test-list $DATA/test.txt \
+[ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 256 --n-test 16
+head -128 $DATA/train.txt > $DATA/train128.txt
+
+COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.txt \
         --difficulty-dict $DATA/train_val.dic --batch-size 4 --acc-batch 1 \
         --test-batch-size 4"
-
-[ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 150 --n-test 20
 
 train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
 
 # ---- rate point 1: vd=56, alpha=3 ----------------------------------------
 D=demo/train_run_vd56
 echo "=== vd56 init phase ==="
-train --valid-dim 56 --alpha 3 --init --init-from $BASE192 \
-      --epochs 6 --save-dir $D
+if [ -f $D/ent_opt_192_56_16_init_trainstate.pkl ]; then
+    # resume the interrupted init run bit-exactly (full TrainState)
+    train --valid-dim 56 --alpha 3 --init \
+          --resume $D/ent_opt_192_56_16_init_trainstate.pkl \
+          --epochs 2 --save-dir $D
+else
+    train --valid-dim 56 --alpha 3 --init --init-from $BASE192 \
+          --epochs 4 --save-dir $D
+fi
 echo "=== vd56 full phase ==="
 train --valid-dim 56 --alpha 3 --resume $D/ent_opt_192_56_16_init_best_0.pkl \
-      --epochs 14 --save-dir $D
+      --epochs 8 --save-dir $D
 cp $D/ent_opt_192_56_16_best_0.pkl demo/mse/1_56.pkl
 echo "=== installed demo/mse/1_56.pkl ==="
 
@@ -44,10 +55,10 @@ echo "=== installed demo/mse/1_56.pkl ==="
 D=demo/train_run_vd112
 echo "=== vd112 init phase ==="
 train --valid-dim 112 --alpha 1 --init --init-from $BASE192 \
-      --epochs 6 --save-dir $D
+      --epochs 4 --save-dir $D
 echo "=== vd112 full phase ==="
 train --valid-dim 112 --alpha 1 --resume $D/ent_opt_192_112_16_init_best_0.pkl \
-      --epochs 14 --save-dir $D
+      --epochs 8 --save-dir $D
 cp $D/ent_opt_192_112_16_best_0.pkl demo/mse/5_112.pkl
 echo "=== installed demo/mse/5_112.pkl ==="
 
@@ -56,7 +67,7 @@ D=demo/train_run_ssim192
 mkdir -p demo/ssim
 echo "=== ssim192 phase (from the MSE vd192 model) ==="
 train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
-      --resume demo/mse/10_192.pkl --epochs 12 --save-dir $D
+      --resume demo/mse/10_192.pkl --epochs 8 --save-dir $D
 cp $D/ent_opt_192_192_16_best_0.pkl demo/ssim/9_192.pkl
 echo "=== installed demo/ssim/9_192.pkl ==="
 
