@@ -76,3 +76,28 @@ def test_scan_profile_mismatch_rejected(tmp_path):
     dec.prepare(params["ent"])
     with pytest.raises(ValueError, match="profile"):
         dec.decode_files([fn])
+
+
+def test_scan_chunks_profile_mismatch_rejected(tmp_path):
+    """conv_chunks / hoist are executable profile bits too: a stream from a
+    chunked or hoisted program must be rejected by a plain decoder."""
+    import jax
+    import jax.numpy as jnp
+    from pseudocylindrical_convolution_tpu.models.cmpnet import (
+        CMPNetConfig, cmpnet_init)
+    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+        ScanWavefrontCodec)
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=4)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(0), cfg)
+    planes = np.zeros((1, 4, cfg.ngroup, 2, 8), np.int32)
+    enc = ScanWavefrontCodec(cfg, geom, 2, 8, batch=1, lanes=4,
+                             conv_chunks=2)
+    enc.prepare(params["ent"])
+    fn = str(tmp_path / "c.bin")
+    enc.encode_files(planes, [fn])
+    assert container.read_stream(fn)["flags"] >> container.CHUNKS_SHIFT == 1
+    dec = ScanWavefrontCodec(cfg, geom, 2, 8, batch=1, lanes=4)
+    dec.prepare(params["ent"])
+    with pytest.raises(ValueError, match="profile"):
+        dec.decode_files([fn])
