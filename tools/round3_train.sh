@@ -27,23 +27,29 @@ BASE192=demo/train_run_full/ent_opt_192_192_16_best_0.pkl
 [ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 256 --n-test 16
 head -128 $DATA/train.txt > $DATA/train128.txt
 
+# micro-batch 2 x grad-accumulation 2 (effective batch 4): the E/D-phase
+# backward at micro-batch 4 exceeds v5e HBM (the init phase fit because
+# the frozen transform stores no activations)
 COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.txt \
-        --difficulty-dict $DATA/train_val.dic --batch-size 4 --acc-batch 1 \
-        --test-batch-size 4"
+        --difficulty-dict $DATA/train_val.dic --batch-size 2 --acc-batch 2 \
+        --test-batch-size 2"
 
 train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
 
 # ---- rate point 1: vd=56, alpha=3 ----------------------------------------
 D=demo/train_run_vd56
 echo "=== vd56 init phase ==="
-if [ -f $D/ent_opt_192_56_16_init_trainstate.pkl ]; then
-    # resume the interrupted init run bit-exactly (full TrainState)
-    train --valid-dim 56 --alpha 3 --init \
-          --resume $D/ent_opt_192_56_16_init_trainstate.pkl \
-          --epochs 2 --save-dir $D
-else
-    train --valid-dim 56 --alpha 3 --init --init-from $BASE192 \
-          --epochs 4 --save-dir $D
+if [ ! -f $D/.init_done ]; then
+    if [ -f $D/ent_opt_192_56_16_init_trainstate.pkl ]; then
+        # resume the interrupted init run bit-exactly (full TrainState)
+        train --valid-dim 56 --alpha 3 --init \
+              --resume $D/ent_opt_192_56_16_init_trainstate.pkl \
+              --epochs 2 --save-dir $D
+    else
+        train --valid-dim 56 --alpha 3 --init --init-from $BASE192 \
+              --epochs 4 --save-dir $D
+    fi
+    touch $D/.init_done
 fi
 echo "=== vd56 full phase ==="
 train --valid-dim 56 --alpha 3 --resume $D/ent_opt_192_56_16_init_best_0.pkl \
