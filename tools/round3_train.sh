@@ -52,19 +52,49 @@ if [ ! -f $D/.init_done ]; then
     touch $D/.init_done
 fi
 echo "=== vd56 full phase ==="
-train --valid-dim 56 --alpha 3 --resume $D/ent_opt_192_56_16_init_best_0.pkl \
-      --epochs 8 --save-dir $D
+if [ ! -f $D/.full_done ]; then
+    if [ -f $D/ent_opt_192_56_16_trainstate.pkl ]; then
+        # resume the interrupted full run (params+opt+quant count+step)
+        train --valid-dim 56 --alpha 3 \
+              --resume $D/ent_opt_192_56_16_trainstate.pkl \
+              --epochs 7 --save-dir $D
+    else
+        train --valid-dim 56 --alpha 3 \
+              --resume $D/ent_opt_192_56_16_init_best_0.pkl \
+              --epochs 8 --save-dir $D
+    fi
+    touch $D/.full_done
+fi
 cp $D/ent_opt_192_56_16_best_0.pkl demo/mse/1_56.pkl
 echo "=== installed demo/mse/1_56.pkl ==="
 
 # ---- rate point 2: vd=112, alpha=1 ---------------------------------------
 D=demo/train_run_vd112
 echo "=== vd112 init phase ==="
-train --valid-dim 112 --alpha 1 --init --init-from $BASE192 \
-      --epochs 4 --save-dir $D
+if [ ! -f $D/.init_done ]; then
+    if [ -f $D/ent_opt_192_112_16_init_trainstate.pkl ]; then
+        train --valid-dim 112 --alpha 1 --init \
+              --resume $D/ent_opt_192_112_16_init_trainstate.pkl \
+              --epochs 2 --save-dir $D
+    else
+        train --valid-dim 112 --alpha 1 --init --init-from $BASE192 \
+              --epochs 4 --save-dir $D
+    fi
+    touch $D/.init_done
+fi
 echo "=== vd112 full phase ==="
-train --valid-dim 112 --alpha 1 --resume $D/ent_opt_192_112_16_init_best_0.pkl \
-      --epochs 8 --save-dir $D
+if [ ! -f $D/.full_done ]; then
+    if [ -f $D/ent_opt_192_112_16_trainstate.pkl ]; then
+        train --valid-dim 112 --alpha 1 \
+              --resume $D/ent_opt_192_112_16_trainstate.pkl \
+              --epochs 4 --save-dir $D
+    else
+        train --valid-dim 112 --alpha 1 \
+              --resume $D/ent_opt_192_112_16_init_best_0.pkl \
+              --epochs 8 --save-dir $D
+    fi
+    touch $D/.full_done
+fi
 cp $D/ent_opt_192_112_16_best_0.pkl demo/mse/5_112.pkl
 echo "=== installed demo/mse/5_112.pkl ==="
 
@@ -72,8 +102,17 @@ echo "=== installed demo/mse/5_112.pkl ==="
 D=demo/train_run_ssim192
 mkdir -p demo/ssim
 echo "=== ssim192 phase (from the MSE vd192 model) ==="
-train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
-      --resume demo/mse/10_192.pkl --epochs 8 --save-dir $D
+if [ ! -f $D/.full_done ]; then
+    if [ -f $D/ent_opt_192_192_16_trainstate.pkl ]; then
+        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
+              --resume $D/ent_opt_192_192_16_trainstate.pkl \
+              --epochs 4 --save-dir $D
+    else
+        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
+              --resume demo/mse/10_192.pkl --epochs 8 --save-dir $D
+    fi
+    touch $D/.full_done
+fi
 cp $D/ent_opt_192_192_16_best_0.pkl demo/ssim/9_192.pkl
 echo "=== installed demo/ssim/9_192.pkl ==="
 
