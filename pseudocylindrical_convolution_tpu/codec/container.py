@@ -15,10 +15,10 @@ Layout (big-endian):
   npart  u8
   flags  u8   scan executable profile; streams are only decodable by a
               same-profile executable, so a mismatch must fail loudly.
-              bit 0 (FLAG_BF16): bf16 activation buffers; bit 1 reserved
-              (was an experimental buffer layout); bit 2 (FLAG_SLAB):
-              slab window mode; bit 3 (FLAG_HOIST): hoisted stacked
-              window gather; bits 4-7: conv_chunks - 1
+              bit 0 (FLAG_BF16): bf16 activation buffers; bit 1
+              (FLAG_BURST): run-gather (row-burst) window mode; bit 2
+              (FLAG_SLAB): slab window mode; bit 3 (FLAG_HOIST): hoisted
+              stacked window gather; bits 4-7: conv_chunks - 1
   vdim   u16  valid_dim
   h, w   u16  latent plane dims
   lanes  u16  scan mode only (0 for dense)
@@ -40,6 +40,7 @@ MODE_DENSE = 0
 MODE_SCAN = 1
 MODE_INCR = 2
 FLAG_BF16 = 1
+FLAG_BURST = 2
 FLAG_SLAB = 4
 FLAG_HOIST = 8
 CHUNKS_SHIFT = 4        # bits 4-7 hold conv_chunks - 1

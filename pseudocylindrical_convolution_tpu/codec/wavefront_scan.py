@@ -123,14 +123,24 @@ class ScanWavefrontCodec:
         # (one parallelogram slab per band + h static row shifts) instead
         # of a 7k-row gather; the 4 vertical-pad rows stay table gathers.
         # Executable-level profile like dtype/conv_chunks.
-        assert window_mode in ("gather", "slab")
+        # window_mode "burst": the interior window rows come from ONE
+        # run-gather -- for a fixed (band, row) the window positions are
+        # CONSECUTIVE buffer columns, so each (band, row) is a single
+        # contiguous (T*CC)-element slice of the flat buffer (a "row burst";
+        # npart*h big rows instead of npart*(h+4)*T small ones). Margins
+        # carried inside the buffer keep every burst start in bounds; the
+        # <=6 non-identity columns per row (causal-left zeros, the circular
+        # wrap at the band's valid width, the right wrap) are patched from
+        # the pad tables, and a static audit proves the decomposition
+        # covers the table exactly (see _burst_setup).
+        assert window_mode in ("gather", "slab", "burst")
         self.window_mode = window_mode
         # hoist: merge the input plane + 11 hidden buffers into ONE
         # (B, S, CCC) buffer and gather every layer's interior window rows
         # in a single stacked gather per step (rows 12x wider, 12x fewer);
         # same-step frontier cells are patched into the per-layer window
         # slices t = G+3-g (+ wrap aliases). Gather-mode only.
-        assert not (hoist and window_mode == "slab")
+        assert not (hoist and window_mode in ("slab", "burst"))
         self.hoist = hoist
         G = cfg.ngroup
         npart = geom.npart
@@ -151,6 +161,9 @@ class ScanWavefrontCodec:
         self.counts, self.nsteps = counts, nsteps
         self.offsets = np.concatenate([[0], np.cumsum(counts)])
         self.nsym = int(self.offsets[-1])
+        self._row_off = 0                            # buffer-row margin
+        if window_mode == "burst":
+            self._burst_setup()                      # sets _row_off, Sbuf
         maxlen = int(counts.max())
         self.R = (maxlen + lanes - 1) // lanes       # AC rounds per step
         self.maxlenp = self.R * lanes
@@ -174,8 +187,9 @@ class ScanWavefrontCodec:
                 j < 2,
                 (((b * h + r) * self.wbuf + col + hindex[b]) * G + g),
                 wsent).astype(np.int32)
-        else:
-            in0 = (((b * h + r) * w + j) * G + g).astype(np.int32)
+        else:                       # gather/burst: flat (+margin for burst)
+            in0 = (((self._row_off + (b * h + r) * w + j)) * G
+                   + g).astype(np.int32)
             in0w = None
 
         # per-step padded index arrays (scan xs); sentinels target the
@@ -226,6 +240,8 @@ class ScanWavefrontCodec:
         f = container.FLAG_BF16 if self.dtype == jnp.bfloat16 else 0
         if self.window_mode == "slab":
             f |= container.FLAG_SLAB
+        if self.window_mode == "burst":
+            f |= container.FLAG_BURST
         if self.hoist:
             f |= container.FLAG_HOIST
         f |= (self.conv_chunks - 1) << container.CHUNKS_SHIFT
@@ -294,13 +310,118 @@ class ScanWavefrontCodec:
             + jax.lax.slice_in_dim(gp, 2, 4, axis=2)
         return jnp.concatenate([top, mid, bot], axis=2)
 
+    def _burst_setup(self):
+        """Static margins, patch tables, and exactness audit for 'burst'.
+
+        For an interior window row (band b, row r) at step z, window
+        position t reads padded column cp = z - G + 1 - h*b + t - (r + 2),
+        i.e. buffer column j = j0 + t with j0 = z - G - 3 - h*b - r:
+        CONSECUTIVE columns. The flat buffer is row-major, so the whole
+        (T, CC) row block is ONE contiguous slice at flat row
+        (b*h + r)*w + j0 -- a row burst of T*CC elements (~50 KB at the
+        flagship config) instead of T separate CC-sized gather rows. The
+        margins M1/M2 are carried INSIDE the buffer so every burst start
+        and end is statically in bounds (PROMISE_IN_BOUNDS, no per-step
+        pad copy). Positions with j outside [0, w) are masked to zero;
+        the <= 6 columns per row where the causal pad tables are not the
+        identity-or-zero map (causal-left pad cp={0,1}, the circular wrap
+        at the band's valid width cp={wl+2, wl+3}, the right wrap
+        cp={w+2, w+3}) are patched via table gathers. The numpy audit
+        below proves this decomposition reproduces the tables exactly for
+        this geometry; a geometry that violates it raises at build time
+        (use window_mode='gather' there)."""
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        T = G + 8
+        S = self.S
+        zmax = self.nsteps - 1
+        b = np.arange(npart)[:, None]
+        r = np.arange(h)[None, :]
+        base = (b * h + r) * w
+        j0_z0 = -G - 3 - h * b - r
+        M1 = max(0, -int((base + j0_z0).min()))
+        M2 = max(0, int((base + j0_z0 + zmax).max()) + T - S)
+        self._row_off = M1
+        self.Sbuf = M1 + S + M2
+
+        idxp_np, wgtp_np = _static_tables(self.geom, h, w)
+        wl = np.asarray(self.geom.hindex(self.h_out, w), np.int64)
+        cand = np.zeros((npart, 6), np.int64)
+        dup = np.zeros((npart, 6), bool)
+        for bb in range(npart):
+            cand[bb] = [0, 1, wl[bb] + 2, wl[bb] + 3, w + 2, w + 3]
+            seen = set()
+            for k in range(6):
+                c = int(cand[bb, k])
+                dup[bb, k] = c in seen
+                seen.add(c)
+        # audit: every interior-row table entry is identity (inside the
+        # image, weight 1), provably zero (weight 0 AND the buffer is zero
+        # at the source), or one of the candidate patch columns
+        jj = np.arange(w + 4) - 2                         # (w+4,)
+        flat = (b * h + r)[..., None] * w + jj            # (np, h, w+4)
+        idx = idxp_np[0][:, 2:h + 2, :w + 4]
+        wgt = wgtp_np[0][:, 2:h + 2, :w + 4]
+        inw = (jj >= 0) & (jj < w)
+        ident = inw[None, None, :] & (idx == flat) & (wgt == 1.0)
+        bufzero = ~((jj[None, :] >= 0) & (jj[None, :] < wl[:, None]))
+        zerook = (wgt == 0.0) & bufzero[:, None, :]
+        iscand = np.zeros((npart, w + 4), bool)
+        for bb in range(npart):
+            iscand[bb, cand[bb][~dup[bb]]] = True
+        if not (ident | zerook | iscand[:, None, :]).all():
+            raise ValueError(
+                "burst window mode: the causal pad tables of this geometry "
+                "do not decompose into identity + <=6 patch columns; use "
+                "window_mode='gather'")
+        cand_b = np.broadcast_to(cand[:, None, :], (npart, h, 6))
+        idx6 = np.take_along_axis(idxp_np[0][:, 2:h + 2], cand_b, axis=2)
+        wgt6 = np.take_along_axis(wgtp_np[0][:, 2:h + 2], cand_b, axis=2)
+        self._burst_idx6 = (idx6 + M1).astype(np.int32)
+        self._burst_wgt6 = (wgt6 * ~dup[:, None, :]).astype(np.float32)
+        self._burst_cand = cand
+
+    def _interior_burst(self, buf, z):
+        """Interior window rows via one contiguous run-gather per (band,
+        row). buf: (B, Sbuf, CC) margin-carrying flat buffer; returns
+        (B, npart, h, T, CC), value-equal to _window's interior rows."""
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        T = G + 8
+        B, CC = buf.shape[0], buf.shape[-1]
+        M1 = self._row_off
+        b = jnp.arange(npart)[:, None]
+        r = jnp.arange(h)[None, :]
+        j0 = z - G - 3 - h * b - r                       # (np, h)
+        starts = ((M1 + (b * h + r) * w + j0) * CC).reshape(-1, 1)
+        flat = buf.reshape(B, self.Sbuf * CC)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+        runs = jax.vmap(lambda f: jax.lax.gather(
+            f, starts.astype(jnp.int32), dn, slice_sizes=(T * CC,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS))(flat)
+        win = runs.reshape(B, npart, h, T, CC)
+        t = jnp.arange(T)[None, None, :]
+        jj = j0[..., None] + t                           # (np, h, T)
+        win = jnp.where(((jj >= 0) & (jj < w))[None, ..., None], win,
+                        jnp.zeros((), win.dtype))
+        # patch the <=6 non-identity columns from the pad tables
+        idx6 = jnp.asarray(self._burst_idx6)
+        wgt6 = jnp.asarray(self._burst_wgt6.astype(self.dtype))
+        v6 = jnp.take(buf, idx6, axis=1) * wgt6[..., None]   # (B,np,h,6,CC)
+        tpos = jnp.asarray(self._burst_cand)[:, None, :] - 2 \
+            - j0[..., None]                              # (np, h, 6)
+        for k in range(6):
+            m = t == tpos[..., k][..., None]             # (np, h, T)
+            win = win + jnp.where(m[None, ..., None], v6[:, :, :, k][
+                :, :, :, None, :], jnp.zeros((), win.dtype))
+        return win
+
     def _pad_rows_g(self, buf, z):
         """The 4 vertical-pad window rows via the 2-tap tables (gather
         layout). buf: (B, S, CC); returns (B, npart, 4, T, CC)."""
         idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
         G, h, w, npart = self.G, self.h, self.w, self.npart
         prow = np.r_[0:2, h + 2:h + 4]
-        idxp = jnp.asarray(idxp_np[:, :, prow])
+        idxp = jnp.asarray(idxp_np[:, :, prow] + self._row_off)
         wgtp = jnp.asarray(wgtp_np[:, :, prow].astype(self.dtype))
         T = G + 8
         b = jnp.arange(npart)[:, None, None]
@@ -453,10 +574,16 @@ class ScanWavefrontCodec:
                 + jnp.take(buf, i1, axis=1) * w1)
 
     def _lhs(self, buf, z):
-        """Window as conv lhs (B*npart, T, h+4, CC) for either mode."""
+        """Window as conv lhs (B*npart, T, h+4, CC) for any window mode."""
         G, h, B, npart = self.G, self.h, self.B, self.npart
-        if self.window_mode == "gather":
-            win = self._window(buf, z)                 # (B, np, h+4, T, CC)
+        if self.window_mode in ("gather", "burst"):
+            if self.window_mode == "gather":
+                win = self._window(buf, z)             # (B, np, h+4, T, CC)
+            else:
+                mid = self._interior_burst(buf, z)     # (B, np, h, T, CC)
+                pads = self._pad_rows_g(buf, z)        # (B, np, 4, T, CC)
+                win = jnp.concatenate(
+                    [pads[:, :, 0:2], mid, pads[:, :, 2:4]], axis=2)
             return win.transpose(0, 1, 3, 2, 4).reshape(
                 B * npart, G + 8, h + 4, win.shape[-1])
         interior = self._interior_slab(buf, z)         # (B, np, T, h, CC)
@@ -592,6 +719,13 @@ class ScanWavefrontCodec:
             mask = (j == tgt) & (j < wl)                       # (np,h,w,CC)
         upd = jnp.where(mask[None], cells.astype(buf.dtype)[:, :, :, None, :],
                         jnp.zeros((), buf.dtype))          # (B,np,h,wb,CC)
+        if self.window_mode == "burst":
+            # margin-carrying buffer: streaming add into the core rows
+            # (static slice -> fused dynamic-update-slice, no extra copy)
+            B = cells.shape[0]
+            core = upd.reshape(B, self.S, CC)
+            return buf.at[:, self._row_off:self._row_off + self.S, :].add(
+                core)
         return buf + upd.reshape(buf.shape)
 
     # ------------------------------------------------------------------
@@ -1071,7 +1205,9 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
                            cfg.valid_dim, h, w)
     flags = hdr0.get("flags", 0)
     dtype = jnp.bfloat16 if flags & container.FLAG_BF16 else jnp.float32
-    window_mode = "slab" if flags & container.FLAG_SLAB else "gather"
+    window_mode = ("slab" if flags & container.FLAG_SLAB
+                   else "burst" if flags & container.FLAG_BURST
+                   else "gather")
     conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
     hoist = bool(flags & container.FLAG_HOIST)
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),

@@ -223,6 +223,53 @@ def test_roundtrip_window_slab_wide():
     assert ((dec == planes) | ~mask[None]).all()
 
 
+def test_roundtrip_window_burst(setup):
+    """window_mode='burst' (one contiguous run-gather per (band, row) +
+    <=6 table-patched columns) must produce BIT-IDENTICAL coder ranges to
+    the gather-mode program -- the decomposition is audited at build time
+    to reproduce the pad tables exactly -- and round-trip."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="burst")
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=43)
+
+    rng = np.random.default_rng(47)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(codec0), ranges(codec))
+
+
+def test_roundtrip_window_burst_wide():
+    """Burst mode on the ragged 8-band wide geometry (spread hindex, incl.
+    full-width and narrow bands): exercises the wrap-patch dedupe (wl == w
+    and wl == w - 1 collisions) and the margin bounds; bf16 profile."""
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=8)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(2), cfg)
+    h, w = 4, 32
+    codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                               window_mode="burst")
+    codec.prepare(params["ent"])
+    hindex = geom.hindex(h * 8, w)
+    mask = np.zeros((8, cfg.ngroup, h, w), bool)
+    for b in range(8):
+        mask[b, :, :, :int(hindex[b])] = True
+    rng = np.random.default_rng(53)
+    planes = rng.integers(0, 8, (1, 8, cfg.ngroup, h, w)).astype(np.int32)
+    streams = codec.encode_planes(planes)
+    dec = codec.decode_streams(streams)
+    assert ((dec == planes) | ~mask[None]).all()
+
+
 def test_roundtrip_hoist(setup):
     """hoist mode (merged buffer, one stacked interior gather + per-layer
     frontier patches) must produce BIT-IDENTICAL coder ranges to the
