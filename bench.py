@@ -134,9 +134,9 @@ def main():
         t_hd = time.perf_counter() - t0
         os.remove(fn)
         mph = Hh * Wh / 1e6
-        extra = {"highres_encode_mps": round(mph / t_he, 4),
-                 "highres_decode_mps": round(mph / t_hd, 4),
-                 "highres_combined_mps": round(mph / (t_he + t_hd), 4)}
+        extra.update({"highres_encode_mps": round(mph / t_he, 4),
+                      "highres_decode_mps": round(mph / t_hd, 4),
+                      "highres_combined_mps": round(mph / (t_he + t_hd), 4)})
 
     print(json.dumps({
         "metric": "codec_throughput_512x1024_encdec",
