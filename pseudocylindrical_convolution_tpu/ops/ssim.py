@@ -26,15 +26,23 @@ def _window(window_size: int = 11, sigma: float = 1.5):
 
 
 def _filter(x, w2, channel):
-    # depthwise conv, SAME zero padding (torch conv2d groups=channel)
+    # depthwise conv, SAME zero padding (torch conv2d groups=channel).
+    # precision=HIGHEST: on TPU the default conv precision multiplies in
+    # bfloat16, and the variance terms below are tiny differences of large
+    # windowed moments -- bf16 products make s1+s2 land below -c2 in flat
+    # regions, blowing the SSIM map past 1. Full-f32 MXU passes cost
+    # nothing at metric sizes and keep the map in [-1, 1].
     k = w2.shape[0]
     w = jnp.asarray(w2)[None, None].repeat(channel, axis=0)
     return lax.conv_general_dilated(
         x, w, (1, 1), [(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=channel)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=channel,
+        precision=lax.Precision.HIGHEST)
 
 
 def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     c = img1.shape[1]
     w2 = _window(window_size)
     mu1 = _filter(img1, w2, c)

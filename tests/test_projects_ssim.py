@@ -84,3 +84,21 @@ def test_ssim_against_torch_reference_formula():
     # differences between XLA and torch; formula parity, not bit parity.
     np.testing.assert_allclose(got, want, rtol=2e-3)
     assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
+
+
+def test_ssim_bounded_and_mixed_dtype():
+    # the SSIM map is mathematically bounded by 1 (AM-GM + Cauchy-Schwarz on
+    # the windowed moments); on TPU this only holds if the moment filters run
+    # at full f32 precision (default conv precision multiplies in bf16 and
+    # the variance cancellation blows the map past 1 in flat regions) --
+    # ops/ssim.py pins precision=HIGHEST. Exercise flat regions, overshoot
+    # values (unclipped decoder output), and bf16 inputs.
+    rng = np.random.RandomState(3)
+    a = rng.rand(4, 3, 64, 64).astype(np.float32)
+    a[0] = 0.5                          # flat image
+    b = a + rng.randn(*a.shape).astype(np.float32) * 0.02
+    b[1] += 3.0 * rng.randn(3, 64, 64)  # overshoot
+    for dt in (jnp.float32, jnp.bfloat16):
+        v = float(ssim(jnp.asarray(a, dt), jnp.asarray(b, dt)))
+        assert v <= 1.0 + 1e-5
+        assert v >= -1.0 - 1e-5
