@@ -99,16 +99,20 @@ cp $D/ent_opt_192_112_16_best_0.pkl demo/mse/5_112.pkl
 echo "=== installed demo/mse/5_112.pkl ==="
 
 # ---- rate point 3: SSIM family, vd=192 -----------------------------------
+# lr 1e-5: SSIM finetune from a trained MSE model follows the reference's
+# finetune rate (test/run.sh full phases run at lr 1e-5/1e-6); the first
+# attempt at the training default 1e-4 (entropy 1e-3) diverged within one
+# E/D epoch (mse 6.6e-4 -> 0.31 in 40 macro batches, NaN by epoch 8).
 D=demo/train_run_ssim192
 mkdir -p demo/ssim
 echo "=== ssim192 phase (from the MSE vd192 model) ==="
 if [ ! -f $D/.full_done ]; then
     if [ -f $D/ent_opt_192_192_16_trainstate.pkl ]; then
-        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
+        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 --lr 1e-5 \
               --resume $D/ent_opt_192_192_16_trainstate.pkl \
               --epochs 4 --save-dir $D
     else
-        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 \
+        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 --lr 1e-5 \
               --resume demo/mse/10_192.pkl --epochs 8 --save-dir $D
     fi
     touch $D/.full_done

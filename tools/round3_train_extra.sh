@@ -55,8 +55,9 @@ echo "=== installed demo/mse/9_192.pkl ==="
 D=demo/train_run_ssim112
 mkdir -p demo/ssim
 if [ ! -f $D/.done ]; then
+    # SSIM finetune at the reference's lr (see round3_train.sh rate point 3)
     resume_or $D ent_opt_192_112_16 demo/mse/5_112.pkl \
-        --valid-dim 112 --alpha 1 --beta 10 --gamma 0
+        --valid-dim 112 --alpha 1 --beta 10 --gamma 0 --lr 1e-5
     touch $D/.done
 fi
 cp $D/ent_opt_192_112_16_best_0.pkl demo/ssim/5_112.pkl
