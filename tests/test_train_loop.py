@@ -102,3 +102,40 @@ def test_resume_bitmatch(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref),
                     jax.tree_util.tree_leaves(jax.tree.map(np.asarray, s2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_one_epoch_ssim_family(tmp_path):
+    """SSIM-loss config (beta>0, gamma=0): exercises top_alpha=0.01, the
+    SSIM gradient path, and ssim_anchor-based validation; all metrics must
+    stay finite (the lr-1e-4 on-chip run diverged; the shipped recipe
+    finetunes at 1e-5, tools/round3_train.sh)."""
+    cv2 = pytest.importorskip("cv2")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    names = []
+    for i in range(2):
+        n = f"im{i}.png"
+        cv2.imwrite(str(img_dir / n),
+                    rng.randint(0, 255, (64, 128, 3), dtype=np.uint8))
+        names.append(n)
+    train_list = tmp_path / "train.txt"
+    test_list = tmp_path / "test.txt"
+    train_list.write_text("\n".join(names) + "\n")
+    test_list.write_text(names[0] + "\n")
+
+    from pseudocylindrical_convolution_tpu.train.loop import (
+        build_argparser, run)
+    args = build_argparser().parse_args([
+        "--img-dir", str(img_dir), "--train-list", str(train_list),
+        "--test-list", str(test_list), "--epochs", "1",
+        "--batch-size", "1", "--acc-batch", "2", "--test-batch-size", "1",
+        "--valid-dim", "8", "--channels", "8", "--code-dim", "8",
+        "--npart", "4", "--viewport_size", "17",
+        "--beta", "10", "--gamma", "0", "--lr", "1e-5",
+        "--save-dir", str(tmp_path / "save")])
+    run(args)
+    log = next(f for f in os.listdir(tmp_path / "save") if "log" in f)
+    text = (tmp_path / "save" / log).read_text()
+    assert "nan" not in text.lower()
+    assert "tloss" in text
