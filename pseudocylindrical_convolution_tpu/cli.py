@@ -121,7 +121,7 @@ def _write_image(path: str, data):
 
 
 def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0,
-             mode="scan", batch=1, lanes=256):
+             mode="scan", batch=1, lanes=None):
     """mode 'scan': single-program codec, bit-exact by shared executable
     (default). mode 'dense': one-shot parallel tables (fastest encode).
     mode 'incremental': per-step einsum codec (codec/incremental.py)."""
@@ -232,8 +232,9 @@ def main(argv=None):
                         "the stream header")
     parser.add_argument("--batch", type=int, default=1,
                         help="scan-mode executable batch size")
-    parser.add_argument("--lanes", type=int, default=256,
-                        help="scan-mode arithmetic-coder lanes per stream")
+    parser.add_argument("--lanes", type=int, default=None,
+                        help="scan-mode arithmetic-coder lanes per stream "
+                             "(default: auto-scaled with image size)")
     args = parser.parse_args(argv)
     midx = args.model_idx
     if args.ssim:

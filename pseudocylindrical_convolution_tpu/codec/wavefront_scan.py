@@ -1102,6 +1102,25 @@ DEFAULT_WINDOW_MODE = "gather"
 DEFAULT_HOIST = False
 
 
+def auto_lanes(geom: Geometry, h: int, w: int, G: int) -> int:
+    """Pick the AC lane count from the geometry's per-step symbol load.
+
+    The decode-side AC inner loop runs ceil(step_symbols / lanes)
+    SEQUENTIAL rounds per wavefront step, so lanes should track the mean
+    step width (512x1024: mean ~1.3k/step; 2048x4096: ~6.3k/step, where
+    256 lanes costs ~25 sequential rounds per step). Each lane also costs
+    ~5 stream bytes (AC flush + 2-byte length), so the count is capped at
+    nsym/1000 -- termination stays ~1% of a ~4-bit/symbol payload. The two
+    pulls give 256 lanes at 512x1024 (the measured-optimal round-2 value)
+    and 2048 at 2048x4096."""
+    _, counts, nsteps = wavefront_schedule(geom, h, w, G)
+    nsym = float(counts.sum())
+    mean = max(1.0, nsym / max(1, nsteps))
+    p = 1 << int(round(np.log2(mean)))
+    cap = 1 << max(6, int(np.log2(max(1.0, nsym / 1000.0))))
+    return int(min(2048, cap, max(64, p)))
+
+
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                    batch: int, lanes: int, dtype=jnp.bfloat16,
                    conv_chunks: int | None = None,
@@ -1133,16 +1152,19 @@ def _prepared(codec: ScanWavefrontCodec, ent_params):
 
 
 def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
-                       fnames, batch: int = 1, lanes: int = 256):
+                       fnames, batch: int = 1, lanes: int | None = None):
     """Encode a list of (1, 3, H, W) images to scan-mode container files.
 
     Pipelined: all chunks' latent transforms and scan programs are
     dispatched asynchronously; the host arithmetic-coder packing of chunk k
     overlaps the device running chunk k+1. batch=1 measured fastest
     per image on a v5e (the scan step is compute-bound, so batching images
-    buys nothing; it only helps amortize very small latents). lanes=256
-    quarters the sequential AC rounds per step vs 64 (decode 6.0 -> 5.25
-    ms/step on chip) at ~0.5% stream-size cost (per-lane termination).
+    buys nothing; it only helps amortize very small latents). lanes=None
+    auto-scales with the geometry's mean step width (`auto_lanes`): 256 at
+    512x1024 (quarters the sequential AC rounds vs 64; decode 6.0 -> 5.25
+    ms/step on chip) and 2048 at 2048x4096, at ~0.5% stream-size cost
+    (per-lane termination). The stream header records the choice; decoders
+    follow the header.
     """
     from pseudocylindrical_convolution_tpu.codec import container
     from pseudocylindrical_convolution_tpu.codec.pipeline import (
@@ -1155,6 +1177,8 @@ def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
         planes.append(hcode.astype(jnp.int32).reshape(
             geom.npart, G, h, w))                     # device, async
     h, w = planes[0].shape[2:]
+    if lanes is None:
+        lanes = auto_lanes(geom, h, w, cfg.ngroup)
     codec = _prepared(get_scan_codec(cfg, geom, h, w, batch, lanes),
                       params["ent"])
     pending = []

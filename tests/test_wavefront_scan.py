@@ -329,3 +329,18 @@ def test_roundtrip_hoist_wrap_alias():
         mask[b, :, :, :int(hindex[b])] = True
     dec = c1.decode_streams(c1.encode_planes(planes))
     assert ((dec == planes) | ~mask[None]).all()
+
+
+def test_auto_lanes_policy():
+    """auto_lanes tracks mean step width but caps termination overhead at
+    ~1% of payload: 256 at the flagship 512x1024 geometry (measured round-2
+    optimum), 2048 at 2048x4096 (cuts ~25 sequential AC rounds/step to ~4),
+    floor 64 for tiny test geometries."""
+    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+        auto_lanes)
+    from pseudocylindrical_convolution_tpu.geometry import Geometry
+    g = Geometry(npart=16, opt=True, config_file="/nonexistent")
+    assert auto_lanes(g, 4, 128, 48) == 256
+    assert auto_lanes(g, 16, 512, 48) == 2048
+    g4 = Geometry(npart=4, opt=True, config_file="/nonexistent")
+    assert auto_lanes(g4, 2, 16, 2) == 64
