@@ -33,7 +33,7 @@ class PseudoEncoder:
     def __init__(self, valid_dim: int, params, channels: int = 192,
                  code_channels: int = 192, npart: int = 16,
                  transform_dtype: str = "float32", mode: str = "scan",
-                 batch: int = 1, lanes: int = 256):
+                 batch: int = 1, lanes: int | None = None):
         self.cfg = CMPNetConfig(valid_dim=valid_dim, channels=channels,
                                 code_channels=code_channels, npart=npart,
                                 transform_dtype=transform_dtype)
