@@ -1103,22 +1103,24 @@ DEFAULT_HOIST = False
 
 
 def auto_lanes(geom: Geometry, h: int, w: int, G: int) -> int:
-    """Pick the AC lane count from the geometry's per-step symbol load.
+    """Pick the AC lane count for a geometry.
 
-    The decode-side AC inner loop runs ceil(step_symbols / lanes)
-    SEQUENTIAL rounds per wavefront step, so lanes should track the mean
-    step width (512x1024: mean ~1.3k/step; 2048x4096: ~6.3k/step, where
-    256 lanes costs ~25 sequential rounds per step). Each lane also costs
-    ~5 stream bytes (AC flush + 2-byte length), so the count is capped at
-    nsym/1000 -- termination stays ~1% of a ~4-bit/symbol payload. The two
-    pulls give 256 lanes at 512x1024 (the measured-optimal round-2 value)
-    and 2048 at 2048x4096."""
-    _, counts, nsteps = wavefront_schedule(geom, h, w, G)
+    Measured on a v5e (tools/prof_scan_variants.py + manual probes): the
+    decode AC inner loop runs ceil(step_symbols/lanes) sequential rounds
+    per wavefront step, but each round's cost scales ~linearly with the
+    lane width at these sizes (the round kernel is throughput-, not
+    latency-bound), so total AC time is nearly FLAT in L -- 512x1024
+    decode 3.87/3.69/3.98 ms/step at L=256/512/1024; 2048x4096
+    23.4/24.3 ms/step at L=256/2048 (scaling lanes with image size was
+    tried and measured a wash-to-loss; at high res the sheared convs
+    dominate the step anyway). L=256 sits within 5% of best everywhere,
+    so it is the fixed choice; only tiny geometries scale DOWN (cap
+    nsym/1000, floor 64) so test configs don't pay 256 lanes x ~5 B of
+    termination on hundred-symbol streams."""
+    _, counts, _ = wavefront_schedule(geom, h, w, G)
     nsym = float(counts.sum())
-    mean = max(1.0, nsym / max(1, nsteps))
-    p = 1 << int(round(np.log2(mean)))
     cap = 1 << max(6, int(np.log2(max(1.0, nsym / 1000.0))))
-    return int(min(2048, cap, max(64, p)))
+    return int(min(256, cap))
 
 
 def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
@@ -1160,10 +1162,10 @@ def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
     overlaps the device running chunk k+1. batch=1 measured fastest
     per image on a v5e (the scan step is compute-bound, so batching images
     buys nothing; it only helps amortize very small latents). lanes=None
-    auto-scales with the geometry's mean step width (`auto_lanes`): 256 at
-    512x1024 (quarters the sequential AC rounds vs 64; decode 6.0 -> 5.25
-    ms/step on chip) and 2048 at 2048x4096, at ~0.5% stream-size cost
-    (per-lane termination). The stream header records the choice; decoders
+    picks `auto_lanes`: 256 at real image sizes (quarters the sequential
+    AC rounds vs 64 -- decode 6.0 -> 5.25 ms/step on chip -- while wider
+    lanes measured flat-to-worse; see auto_lanes), scaled down for tiny
+    test geometries. The stream header records the choice; decoders
     follow the header.
     """
     from pseudocylindrical_convolution_tpu.codec import container

@@ -332,15 +332,14 @@ def test_roundtrip_hoist_wrap_alias():
 
 
 def test_auto_lanes_policy():
-    """auto_lanes tracks mean step width but caps termination overhead at
-    ~1% of payload: 256 at the flagship 512x1024 geometry (measured round-2
-    optimum), 2048 at 2048x4096 (cuts ~25 sequential AC rounds/step to ~4),
-    floor 64 for tiny test geometries."""
+    """auto_lanes: 256 at real image sizes (wider lanes measured flat-to-
+    worse on chip -- the round kernel cost scales with lane width), scaled
+    down for tiny test geometries (cap nsym/1000, floor 64)."""
     from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
         auto_lanes)
     from pseudocylindrical_convolution_tpu.geometry import Geometry
     g = Geometry(npart=16, opt=True, config_file="/nonexistent")
     assert auto_lanes(g, 4, 128, 48) == 256
-    assert auto_lanes(g, 16, 512, 48) == 2048
+    assert auto_lanes(g, 16, 512, 48) == 256
     g4 = Geometry(npart=4, opt=True, config_file="/nonexistent")
     assert auto_lanes(g4, 2, 16, 2) == 64
