@@ -1,0 +1,68 @@
+"""Manual scan-step profiler (validated timing pattern).
+
+tools/prof_scan_variants.py showed bogus ~1 ms totals at 2048x4096 while
+this direct pattern measured 17-20 s; until that is tracked down, this is
+the trusted harness. One config per line:
+
+  python tools/prof_scan_manual.py --hw 512 1024 \
+      --configs gather:4:256 burst:4:256 [--iters 2] [--cpu]
+
+config syntax: window_mode:conv_chunks:lanes
+"""
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vd", type=int, default=192)
+    ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--configs", nargs="+", default=["gather:4:256"])
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from pseudocylindrical_convolution_tpu.models.cmpnet import (
+        CMPNetConfig, cmpnet_init)
+    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+        ScanWavefrontCodec)
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = CMPNetConfig(valid_dim=args.vd, channels=192, code_channels=192,
+                       npart=16)
+    geom = cfg.geometry()
+    H, W = args.hw
+    h, w = H // geom.npart // 8, W // 8
+    params = cmpnet_init(jax.random.PRNGKey(0), cfg)
+
+    for spec in args.configs:
+        wm, nch, L = spec.split(":")
+        nch, L = int(nch), int(L)
+        codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=L,
+                                   conv_chunks=nch, window_mode=wm)
+        codec.prepare(params["ent"])
+        teacher = jnp.zeros((1, codec.P), jnp.int32)
+        zwords = jnp.zeros((codec.NW,), jnp.uint32)
+        zoff = jnp.zeros((1, L), jnp.int32)
+        znb = jnp.zeros((1, L), jnp.uint32)
+        for dec in (False, True):
+            out = codec._run(zwords, zoff, znb, teacher, decode=dec)
+            jax.block_until_ready(out)
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                out = codec._run(zwords, zoff, znb, teacher, decode=dec)
+                jax.block_until_ready(out)
+                ts.append(time.perf_counter() - t0)
+            dt = min(ts)
+            print(f"{spec} decode={int(dec)}: {dt:7.2f}s  "
+                  f"{dt / codec.nsteps * 1e3:6.2f} ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()
