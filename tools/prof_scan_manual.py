@@ -11,12 +11,18 @@ config syntax: window_mode:conv_chunks:lanes
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vd", type=int, default=192)
+    ap.add_argument("--npart", type=int, default=16)
+    ap.add_argument("--channels", type=int, default=192)
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
@@ -33,8 +39,8 @@ def main():
         ScanWavefrontCodec)
 
     print("devices:", jax.devices(), flush=True)
-    cfg = CMPNetConfig(valid_dim=args.vd, channels=192, code_channels=192,
-                       npart=16)
+    cfg = CMPNetConfig(valid_dim=args.vd, channels=args.channels,
+                       code_channels=args.channels, npart=args.npart)
     geom = cfg.geometry()
     H, W = args.hw
     h, w = H // geom.npart // 8, W // 8
