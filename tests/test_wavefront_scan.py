@@ -343,3 +343,28 @@ def test_auto_lanes_policy():
     assert auto_lanes(g, 16, 512, 48) == 256
     g4 = Geometry(npart=4, opt=True, config_file="/nonexistent")
     assert auto_lanes(g4, 2, 16, 2) == 64
+
+
+def test_roundtrip_burst_chunks(setup):
+    """burst window + conv_chunks=2 combined (the candidate shipped
+    profile): bit-identical coder ranges to the plain gather program and a
+    clean roundtrip."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="burst",
+                               conv_chunks=2)
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=59)
+
+    rng = np.random.default_rng(61)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(codec0), ranges(codec))
