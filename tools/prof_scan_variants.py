@@ -3,6 +3,11 @@
 Times full encode-mode and decode-mode dispatches of the 238-step scan
 program across (conv_chunks, lanes, batch) variants.
 
+KNOWN ISSUE: at 2048x4096 this harness printed ~1 ms totals on the v5e
+while the identical call pattern run standalone measured 17-20 s
+(tools/prof_scan_manual.py, the trusted harness). Root cause untracked;
+prefer prof_scan_manual.py for anything above 512x1024.
+
 Usage: python tools/prof_scan_variants.py [--vd 192] [--iters 3]
        [--chunks 1 2 3 4] [--lanes 256] [--batch 1]
 """
