@@ -40,6 +40,15 @@ REF_CODEC_MPS = 0.26   # derived estimate, see module docstring
 
 
 def main():
+    # the dense-encode path drains the host AC coder and the scan codec
+    # packs streams on the host: concurrent CPU load (e.g. a test suite)
+    # contaminates every number. Warn loudly rather than publish junk.
+    load1 = os.getloadavg()[0]
+    if load1 > 4.0:
+        print(f"WARNING: host 1-min load average {load1:.1f} -- bench "
+              "numbers will be depressed by CPU contention; run alone",
+              file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
     from pseudocylindrical_convolution_tpu.models.cmpnet import (
