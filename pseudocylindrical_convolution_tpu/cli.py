@@ -151,19 +151,27 @@ def _decode_any(params, cfg, geom, code_list):
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
     from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
         scan_decode_images)
-    modes = {container.read_stream(fc)["mode"] for fc in code_list}
+    hdrs = [container.read_stream(fc) for fc in code_list]
+    modes = {h["mode"] for h in hdrs}
     if len(modes) != 1:
         raise SystemExit(f"mixed stream modes in one decode run: {modes}")
     mode = modes.pop()
+    # image size from the self-describing header (latent h, w), not the
+    # reference's fixed 512x1024 assumption -- high-res streams decode to
+    # their own size
+    sizes = {(int(h["h"]) * geom.npart * 8, int(h["w"]) * 8) for h in hdrs}
+    if len(sizes) != 1:
+        raise SystemExit(f"mixed stream sizes in one decode run: {sizes}")
+    image_hw = sizes.pop()
     if mode == container.MODE_SCAN:
         return scan_decode_images(params, cfg, geom, list(code_list),
-                                  IMAGE_HW)
+                                  image_hw)
     if mode == container.MODE_INCR:
         from pseudocylindrical_convolution_tpu.codec.incremental import (
             incr_decode_images)
         return incr_decode_images(params, cfg, geom, list(code_list),
-                                  IMAGE_HW)
-    return decode_image(params, cfg, geom, list(code_list), IMAGE_HW)
+                                  image_hw)
+    return decode_image(params, cfg, geom, list(code_list), image_hw)
 
 
 def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
