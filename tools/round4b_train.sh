@@ -1,0 +1,63 @@
+#!/bin/bash
+# Registry completion: the last 4 SSIM rate points. Run AFTER
+# tools/round4_train.sh (whose MSE finetunes provide the init checkpoints).
+# With these installed the full 19-slot registry (10 MSE + 9 SSIM,
+# pseudo_codec.py:18-23) is populated.
+#
+# Rate-ladder convention (alpha multiplies the rate term, LossWeights in
+# parallel/train.py): higher model-idx = higher rate = LOWER alpha.
+# Installed so far in the SSIM 56-group: 1_56 (a=3), 2_56 (a=2); the
+# 112-group anchor 5_112 was trained at a=1, so 6/7_112 drop to 0.5/0.25.
+#
+#   ssim/3_56   (beta=10 alpha=1,    from mse/3_56)   ssim-idx 2
+#   ssim/4_56   (beta=10 alpha=0.5,  from ssim/3_56)  ssim-idx 3
+#   ssim/6_112  (beta=10 alpha=0.5,  from mse/6_112)  ssim-idx 5
+#   ssim/7_112  (beta=10 alpha=0.25, from mse/7_112)  ssim-idx 6
+#
+#   bash tools/round4b_train.sh >/tmp/r4b_train.log 2>&1 &
+set -e
+cd "$(dirname "$0")/.."
+
+DATA=/tmp/synth360
+[ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 256 --n-test 16
+head -128 $DATA/train.txt > $DATA/train128.txt
+
+COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.txt \
+        --difficulty-dict $DATA/train_val.dic --batch-size 2 --acc-batch 2 \
+        --test-batch-size 2"
+
+train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
+
+# point <run-dir> <prefix> <fallback-init> <install-path> <args...>
+point () {
+    local D=$1 P=$2 FB=$3 OUT=$4; shift 4
+    if [ ! -f $D/.done ]; then
+        if [ -f $D/${P}_trainstate.pkl ]; then
+            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
+        else
+            train --resume $FB --epochs 6 "$@" --save-dir $D
+        fi
+        touch $D/.done
+    fi
+    mkdir -p "$(dirname $OUT)"
+    cp $D/${P}_best_0.pkl $OUT
+    echo "=== installed $OUT ==="
+}
+
+# SSIM finetunes at lr 1e-5 (RD_EVIDENCE.md post-mortem: 1e-4 diverges)
+point demo/train_run_ssim3_56  ent_opt_192_56_16  demo/mse/3_56.pkl   demo/ssim/3_56.pkl \
+    --valid-dim 56 --alpha 1 --beta 10 --gamma 0 --lr 1e-5
+point demo/train_run_ssim4_56  ent_opt_192_56_16  demo/ssim/3_56.pkl  demo/ssim/4_56.pkl \
+    --valid-dim 56 --alpha 0.5 --beta 10 --gamma 0 --lr 1e-5
+point demo/train_run_ssim6_112 ent_opt_192_112_16 demo/mse/6_112.pkl  demo/ssim/6_112.pkl \
+    --valid-dim 112 --alpha 0.5 --beta 10 --gamma 0 --lr 1e-5
+point demo/train_run_ssim7_112 ent_opt_192_112_16 demo/mse/7_112.pkl  demo/ssim/7_112.pkl \
+    --valid-dim 112 --alpha 0.25 --beta 10 --gamma 0 --lr 1e-5
+
+# RD tables over the now-complete registry
+ls $DATA/test_*.npy | head -6 > /tmp/r4_eval_list.txt
+echo "=== rd_curve (full mse registry) ==="
+python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt --decode
+echo "=== rd_curve (full ssim registry) ==="
+python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt --ssim --decode
+echo "=== ROUND-4B MARATHON DONE ==="
