@@ -37,9 +37,12 @@ point () {
     local D=$1 P=$2 FB=$3 OUT=$4; shift 4
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
-            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
+            train --resume $D/${P}_trainstate.pkl --epochs 2 "$@" --save-dir $D
         else
-            train --resume $FB --epochs 6 "$@" --save-dir $D
+            # 4 epochs: same-vd finetunes (shapes match) converge in 3-4
+            # epochs in every round-3 run; 6 was headroom we can't afford
+            # with 12 points in one session
+            train --resume $FB --epochs 4 "$@" --save-dir $D
         fi
         touch $D/.done
     fi
@@ -62,10 +65,5 @@ point demo/train_run_7_112 ent_opt_192_112_16 demo/mse/6_112.pkl demo/mse/7_112.
 point demo/train_run_ssim2_56 ent_opt_192_56_16 demo/mse/2_56.pkl demo/ssim/2_56.pkl \
     --valid-dim 56 --alpha 2 --beta 10 --gamma 0 --lr 1e-5
 
-# RD tables over everything installed
-ls $DATA/test_*.npy | head -6 > /tmp/r4_eval_list.txt
-echo "=== rd_curve (mse registry) ==="
-python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt --decode
-echo "=== rd_curve (ssim registry) ==="
-python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt --ssim --decode
+# RD tables move to round4b_train.sh (run once over the complete registry)
 echo "=== ROUND-4 MARATHON DONE ==="

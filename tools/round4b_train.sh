@@ -33,9 +33,9 @@ point () {
     local D=$1 P=$2 FB=$3 OUT=$4; shift 4
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
-            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
+            train --resume $D/${P}_trainstate.pkl --epochs 2 "$@" --save-dir $D
         else
-            train --resume $FB --epochs 6 "$@" --save-dir $D
+            train --resume $FB --epochs 4 "$@" --save-dir $D
         fi
         touch $D/.done
     fi
