@@ -44,16 +44,18 @@ FLAG_BURST = 2
 FLAG_SLAB = 4
 FLAG_HOIST = 8
 CHUNKS_SHIFT = 4        # bits 4-7 hold conv_chunks - 1
+FLAG2_MMPAD = 1         # second flag byte (was reserved padding; old
+                        # streams carry 0 = plain gather pads)
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 
 
 def write_stream(fname: str, mode: int, npart: int, valid_dim: int, h: int,
                  w: int, payload: bytes, lanes: int = 0, batch: int = 0,
-                 lane_nbytes=None, flags: int = 0) -> int:
+                 lane_nbytes=None, flags: int = 0, flags2: int = 0) -> int:
     """Write header + payload; returns total file size in bytes."""
     hdr = struct.pack(_FMT, MAGIC, VERSION, mode, npart, flags, valid_dim,
-                      h, w, lanes, batch, 0)
+                      h, w, lanes, batch, flags2)
     body = b""
     if mode == MODE_SCAN:
         assert lanes and lane_nbytes is not None and len(lane_nbytes) == lanes
@@ -71,7 +73,7 @@ def read_stream(fname: str) -> dict:
     if len(data) < _HLEN or data[:4] != MAGIC:
         raise ValueError(f"{fname}: not a PC60 bitstream (bad magic)")
     (magic, ver, mode, npart, flags, vdim, h, w, lanes, batch,
-     _pad) = struct.unpack(_FMT, data[:_HLEN])
+     flags2) = struct.unpack(_FMT, data[:_HLEN])
     if ver != VERSION:
         raise ValueError(f"{fname}: unsupported container version {ver}")
     off = _HLEN
@@ -82,7 +84,7 @@ def read_stream(fname: str) -> dict:
         off += 4 * lanes
     return {"mode": mode, "npart": npart, "valid_dim": vdim, "h": h, "w": w,
             "lanes": lanes, "batch": batch, "lane_nbytes": lane_nbytes,
-            "flags": flags, "payload": data[off:]}
+            "flags": flags, "flags2": flags2, "payload": data[off:]}
 
 
 def check_stream(hdr: dict, fname: str, mode: int, npart: int,

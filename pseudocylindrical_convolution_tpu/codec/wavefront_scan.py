@@ -89,7 +89,7 @@ class ScanWavefrontCodec:
                  batch: int = 1, lanes: int = 64, cpn: int = 3,
                  num_gaussian: int = 3, dtype=jnp.bfloat16,
                  conv_chunks: int = 1, window_mode: str = "gather",
-                 hoist: bool = False):
+                 hoist: bool = False, pad_mode: str = "gather"):
         """dtype: activation-buffer dtype. bf16 (default) halves the window
         gather bytes (the measured per-step bottleneck); the conv still
         accumulates fp32 and the GMM/CDF math is fp32. Bit-exactness is
@@ -142,6 +142,20 @@ class ScanWavefrontCodec:
         # slices t = G+3-g (+ wrap aliases). Gather-mode only.
         assert not (hoist and window_mode in ("slab", "burst"))
         self.hoist = hoist
+        # pad_mode "mm": the 4 vertical-pad window rows come from one-hot
+        # selection MATMULS instead of 2-tap table gathers. Each (band,
+        # pad-row, tap) provably reads a single source plane row (audited
+        # in _mmpad_tables), so its T window values are
+        # M (T, w) @ src_row (w, CC) with M a zero/weight one-hot built
+        # per STEP from the pad tables (shared by all 12 layer calls via
+        # XLA CSE): the pad half of the window moves from the
+        # gather-row-bound path onto the MXU + contiguous row reads.
+        # Value-equal to _pad_rows_g (single products, exact zero
+        # addends), recorded in the stream profile (FLAG2_MMPAD) anyway.
+        assert pad_mode in ("gather", "mm")
+        assert not (pad_mode == "mm" and window_mode != "burst"), \
+            "pad_mode='mm' composes with the burst interior only"
+        self.pad_mode = pad_mode
         G = cfg.ngroup
         npart = geom.npart
         self.G, self.npart = G, npart
@@ -246,6 +260,11 @@ class ScanWavefrontCodec:
             f |= container.FLAG_HOIST
         f |= (self.conv_chunks - 1) << container.CHUNKS_SHIFT
         return f
+
+    @property
+    def profile_flags2(self) -> int:
+        from pseudocylindrical_convolution_tpu.codec import container
+        return container.FLAG2_MMPAD if self.pad_mode == "mm" else 0
 
     # ------------------------------------------------------------------
     def prepare(self, ent_params):
@@ -437,6 +456,82 @@ class ScanWavefrontCodec:
         return (jnp.take(buf, i0, axis=1) * w0
                 + jnp.take(buf, i1, axis=1) * w1)
 
+    @functools.cached_property
+    def _mmpad_tables(self):
+        """Static tables for pad_mode='mm', with the single-source-row audit.
+
+        For each p = (band, pad-row k, tap) flattened: Rrow[p] -- the one
+        plane row every live table entry of that tap reads (a build-time
+        assert enforces it; geometries violating it must use
+        pad_mode='gather'); col[p, cc] -- the column within that row;
+        wgt[p, cc] -- the lerp weight (0 rows select nothing); cp0b[p] --
+        the z-independent part of the window's padded-column origin."""
+        idxp_np, wgtp_np = _static_tables(self.geom, self.h, self.w)
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        prow = np.r_[0:2, h + 2:h + 4]
+        P = npart * 4 * 2
+        Rrow = np.zeros(P, np.int32)
+        col = np.zeros((P, w + 5), np.int32)
+        wgt = np.zeros((P, w + 5), np.float32)
+        cp0b = np.zeros(P, np.int32)
+        p = 0
+        for b in range(npart):
+            for k in range(4):
+                for tap in range(2):
+                    idx = idxp_np[tap][b, prow[k]]
+                    wg = wgtp_np[tap][b, prow[k]]
+                    live = wg != 0
+                    if live.any():
+                        rows = np.unique(idx[live] // w)
+                        assert len(rows) == 1, (
+                            "pad_mode='mm' needs single-row taps; this "
+                            "geometry's pad tables span multiple rows -- "
+                            "use pad_mode='gather'")
+                        Rrow[p] = rows[0]
+                        col[p, live] = idx[live] - rows[0] * w
+                    wgt[p] = wg
+                    cp0b[p] = -G + 1 - h * b - prow[k]
+                    p += 1
+        return Rrow, col, wgt, cp0b
+
+    def _pad_rows_mm(self, buf, z):
+        """The 4 vertical-pad window rows as one-hot selection matmuls.
+
+        buf: (B, Sbuf, CC); returns (B, npart, 4, T, CC), value-equal to
+        _pad_rows_g (each output element is ONE exact product plus exact
+        zeros, so the MXU f32 accumulation rounds identically to the
+        elementwise gather-multiply). The per-p source rows are contiguous
+        (w*CC)-element runs of the flat buffer and the selection matrices
+        are built once per step from tiny static tables -- no per-position
+        HBM gathers."""
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        T = G + 8
+        B, CC = buf.shape[0], buf.shape[-1]
+        Rrow, colT, wgtT, cp0b = self._mmpad_tables
+        P = Rrow.shape[0]
+        ccM = jnp.asarray(cp0b)[:, None] + z + jnp.arange(T)[None, :]
+        inb = (ccM >= 0) & (ccM <= w + 4)
+        ccc = jnp.clip(ccM, 0, w + 4)                    # (P, T)
+        colz = jnp.take_along_axis(jnp.asarray(colT), ccc, axis=1)
+        wz = jnp.take_along_axis(
+            jnp.asarray(wgtT.astype(self.dtype)), ccc, axis=1)
+        wz = jnp.where(inb, wz, jnp.zeros((), self.dtype))
+        M = jnp.where(colz[:, :, None] == jnp.arange(w)[None, None, :],
+                      wz[:, :, None], jnp.zeros((), self.dtype))  # (P, T, w)
+        starts = ((self._row_off + Rrow.astype(np.int64) * w) * CC
+                  ).astype(np.int32).reshape(-1, 1)
+        flat = buf.reshape(B, self.Sbuf * CC)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+        runs = jax.vmap(lambda f: jax.lax.gather(
+            f, jnp.asarray(starts), dn, slice_sizes=(w * CC,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS))(flat)
+        src = runs.reshape(B, P, w, CC)
+        out = jnp.einsum("ptw,bpwc->bptc", M, src,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(B, npart, 4, 2, T, CC)
+        return out[:, :, :, 0] + out[:, :, :, 1]
+
     def _hoist_window(self, bufH, z):
         """ONE stacked interior-row gather for every layer's window.
 
@@ -581,7 +676,9 @@ class ScanWavefrontCodec:
                 win = self._window(buf, z)             # (B, np, h+4, T, CC)
             else:
                 mid = self._interior_burst(buf, z)     # (B, np, h, T, CC)
-                pads = self._pad_rows_g(buf, z)        # (B, np, 4, T, CC)
+                pads = (self._pad_rows_mm(buf, z)      # (B, np, 4, T, CC)
+                        if self.pad_mode == "mm"
+                        else self._pad_rows_g(buf, z))
                 win = jnp.concatenate(
                     [pads[:, :, 0:2], mid, pads[:, :, 2:4]], axis=2)
             return win.transpose(0, 1, 3, 2, 4).reshape(
@@ -920,7 +1017,8 @@ class ScanWavefrontCodec:
             sizes.append(container.write_stream(
                 fn, container.MODE_SCAN, self.npart, self.cfg.valid_dim,
                 self.h, self.w, payload, lanes=self.L, batch=self.B,
-                lane_nbytes=lane_nbytes, flags=flags))
+                lane_nbytes=lane_nbytes, flags=flags,
+                flags2=self.profile_flags2))
         return sizes
 
     def decode_files(self, fnames):
@@ -936,12 +1034,12 @@ class ScanWavefrontCodec:
                     f"{fn}: stream was encoded for a (batch={hdr['batch']}, "
                     f"lanes={hdr['lanes']}) executable, decoder is "
                     f"(batch={self.B}, lanes={self.L})")
-            want_flags = self.profile_flags
-            if hdr.get("flags", 0) != want_flags:
+            want = (self.profile_flags, self.profile_flags2)
+            got = (hdr.get("flags", 0), hdr.get("flags2", 0))
+            if got != want:
                 raise ValueError(
-                    f"{fn}: stream profile flags {hdr.get('flags', 0)} do "
-                    f"not match this decoder's profile {want_flags} "
-                    f"(dtype {self.dtype})")
+                    f"{fn}: stream profile flags {got} do not match this "
+                    f"decoder's profile {want} (dtype {self.dtype})")
             streams.append((hdr["payload"], hdr["lane_nbytes"]))
         return self.decode_streams(streams)
 
@@ -1100,6 +1198,7 @@ _CODEC_CACHE = {}
 DEFAULT_CONV_CHUNKS = 4
 DEFAULT_WINDOW_MODE = "gather"
 DEFAULT_HOIST = False
+DEFAULT_PAD_MODE = "gather"
 
 
 def auto_lanes(geom: Geometry, h: int, w: int, G: int) -> int:
@@ -1127,7 +1226,8 @@ def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
                    batch: int, lanes: int, dtype=jnp.bfloat16,
                    conv_chunks: int | None = None,
                    window_mode: str | None = None,
-                   hoist: bool | None = None) -> ScanWavefrontCodec:
+                   hoist: bool | None = None,
+                   pad_mode: str | None = None) -> ScanWavefrontCodec:
     if conv_chunks is None:
         conv_chunks = DEFAULT_CONV_CHUNKS if cfg.ngroup % \
             DEFAULT_CONV_CHUNKS == 0 else 1
@@ -1135,13 +1235,16 @@ def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
         window_mode = DEFAULT_WINDOW_MODE
     if hoist is None:
         hoist = DEFAULT_HOIST and window_mode == "gather"
+    if pad_mode is None:
+        pad_mode = DEFAULT_PAD_MODE if window_mode == "burst" else "gather"
     key = (cfg, geom, h, w, batch, lanes, jnp.dtype(dtype), conv_chunks,
-           window_mode, hoist)
+           window_mode, hoist, pad_mode)
     codec = _CODEC_CACHE.get(key)
     if codec is None:
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=batch, lanes=lanes,
                                    dtype=dtype, conv_chunks=conv_chunks,
-                                   window_mode=window_mode, hoist=hoist)
+                                   window_mode=window_mode, hoist=hoist,
+                                   pad_mode=pad_mode)
         _CODEC_CACHE[key] = codec
     return codec
 
@@ -1207,7 +1310,8 @@ def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
             sizes.append(container.write_stream(
                 fn, container.MODE_SCAN, codec.npart, cfg.valid_dim,
                 h, w, payload, lanes=codec.L, batch=codec.B,
-                lane_nbytes=lane_nbytes, flags=flags))
+                lane_nbytes=lane_nbytes, flags=flags,
+                flags2=codec.profile_flags2))
     return sizes
 
 
@@ -1236,10 +1340,13 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
                    else "gather")
     conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
     hoist = bool(flags & container.FLAG_HOIST)
+    pad_mode = ("mm" if hdr0.get("flags2", 0) & container.FLAG2_MMPAD
+                else "gather")
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
                                      int(hdr0["lanes"]), dtype=dtype,
                                      conv_chunks=conv_chunks,
-                                     window_mode=window_mode, hoist=hoist),
+                                     window_mode=window_mode, hoist=hoist,
+                                     pad_mode=pad_mode),
                       params["ent"])
     pending = []
     for o in range(0, len(fnames), codec.B):

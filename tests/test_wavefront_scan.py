@@ -368,3 +368,72 @@ def test_roundtrip_burst_chunks(setup):
         return np.asarray(packed)
 
     np.testing.assert_array_equal(ranges(codec0), ranges(codec))
+
+
+def test_pad_rows_mm_matches_gather(setup):
+    """pad_mode='mm' (one-hot selection matmuls) must produce values equal
+    to the 2-tap table gathers at EVERY step, for f32 and bf16 buffers."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="burst",
+                               pad_mode="mm")
+    rng = np.random.default_rng(71)
+    CC = 3 * cfg.ngroup * codec.cpn
+    buf = jnp.asarray(rng.standard_normal((B, codec.Sbuf, CC)), jnp.float32)
+    for z in range(codec.nsteps):
+        g = codec._pad_rows_g(buf, jnp.int32(z))
+        m = codec._pad_rows_mm(buf, jnp.int32(z))
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(m),
+                                      err_msg=f"step {z}")
+    codecb = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                                dtype=jnp.bfloat16, window_mode="burst",
+                                pad_mode="mm")
+    bufb = buf.astype(jnp.bfloat16)
+    for z in range(0, codecb.nsteps, 3):
+        g = codecb._pad_rows_g(bufb, jnp.int32(z))
+        m = codecb._pad_rows_mm(bufb, jnp.int32(z))
+        np.testing.assert_array_equal(
+            np.asarray(g, np.float32), np.asarray(m, np.float32),
+            err_msg=f"bf16 step {z}")
+
+
+def test_roundtrip_burst_mmpad(setup):
+    """burst interior + matmul pads + chunked convs (candidate profile):
+    bit-identical coder ranges to the plain gather program, clean
+    roundtrip, and the container records FLAG2_MMPAD."""
+    from pseudocylindrical_convolution_tpu.codec import container
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="burst",
+                               conv_chunks=2, pad_mode="mm")
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=73)
+
+    rng = np.random.default_rng(79)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(codec0), ranges(codec))
+
+    # container profile: mm-pad streams are rejected by plain decoders
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fns = [os.path.join(td, f"s{i}.bin") for i in range(B)]
+        codec.encode_files(planes, fns)
+        hdr = container.read_stream(fns[0])
+        assert hdr["flags2"] & container.FLAG2_MMPAD
+        got = codec.decode_files(fns)
+        assert ((got == planes) | ~mask[None]).all()
+        plain = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                                   dtype=jnp.float32, window_mode="burst",
+                                   conv_chunks=2)
+        plain.prepare(params["ent"])
+        with pytest.raises(ValueError, match="profile"):
+            plain.decode_files(fns)
