@@ -5,9 +5,9 @@ this direct pattern measured 17-20 s; until that is tracked down, this is
 the trusted harness. One config per line:
 
   python tools/prof_scan_manual.py --hw 512 1024 \
-      --configs gather:4:256 burst:4:256 [--iters 2] [--cpu]
+      --configs gather:4:256 burst:4:256 burst:4:256:mm [--iters 2] [--cpu]
 
-config syntax: window_mode:conv_chunks:lanes
+config syntax: window_mode:conv_chunks:lanes[:pad_mode]
 """
 
 import argparse
@@ -47,10 +47,12 @@ def main():
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
 
     for spec in args.configs:
-        wm, nch, L = spec.split(":")
-        nch, L = int(nch), int(L)
+        parts = spec.split(":")
+        wm, nch, L = parts[0], int(parts[1]), int(parts[2])
+        pad = parts[3] if len(parts) > 3 else "gather"
         codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=L,
-                                   conv_chunks=nch, window_mode=wm)
+                                   conv_chunks=nch, window_mode=wm,
+                                   pad_mode=pad)
         codec.prepare(params["ent"])
         teacher = jnp.zeros((1, codec.P), jnp.int32)
         zwords = jnp.zeros((codec.NW,), jnp.uint32)

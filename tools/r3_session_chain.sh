@@ -13,8 +13,9 @@ if [ -n "$WAIT_PID" ]; then
 fi
 
 echo "=== chain: burst/chunks A/B (prof_scan_manual) ==="
-timeout 3600 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
-    --configs gather:4:256 burst:1:256 burst:2:256 burst:4:256 \
+timeout 5400 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+    --configs gather:4:256 burst:4:256 burst:4:256:mm burst:2:256:mm \
+    burst:1:256:mm \
     > /tmp/r4_ab.log 2>&1 || echo "chain: A/B failed (see /tmp/r4_ab.log)"
 tail -20 /tmp/r4_ab.log
 
