@@ -933,26 +933,29 @@ class ScanWavefrontCodec:
                 actB = jnp.broadcast_to(act_l[None], (B, L))
                 cdf = jax.lax.dynamic_slice(
                     cdf_all, (0, off, 0), (B, L, 9))
-
-                def dec(ac_):
-                    ac_, sy = device_ac.decode_symbols(ac_, words, cdf, actB)
-                    return ac_, sy.astype(jnp.uint32)
-
-                def tea(ac_):
-                    tsy = jax.lax.dynamic_slice(tsy_all, (0, off), (B, L))
-                    return ac_, tsy.astype(jnp.uint32)
-
-                ac, sy = jax.lax.cond(decode_flag, dec, tea, ac)
+                ac, sy = device_ac.decode_symbols(ac, words, cdf, actB)
                 sy_all = jax.lax.dynamic_update_slice(
                     sy_all, sy.astype(jnp.uint32), (0, off))
                 return rr + 1, ac, sy_all
 
-            # dynamic round count: steps average ~half the worst-case
-            # symbol count, so a while_loop halves the AC-section cost
-            # vs a static R-round unroll
-            _, ac, sy_all = jax.lax.while_loop(
-                lambda st: st[0] < nrounds, round_body,
-                (jnp.int32(0), ac, sy_all))
+            def dec_rounds(op):
+                # dynamic round count: steps average ~half the worst-case
+                # symbol count, so a while_loop halves the AC-section cost
+                # vs a static R-round unroll
+                _, ac, sy = jax.lax.while_loop(
+                    lambda st: st[0] < nrounds, round_body,
+                    (jnp.int32(0),) + op)
+                return ac, sy
+
+            def tea_rounds(op):
+                # teacher (encode) mode never touches the AC state: the
+                # round loop would only copy teacher symbols, so skip it
+                # wholesale (identical sy_all: invalid slots are already 0)
+                ac, _ = op
+                return ac, tsy_all.astype(jnp.uint32)
+
+            ac, sy_all = jax.lax.cond(decode_flag, dec_rounds, tea_rounds,
+                                      (ac, sy_all))
 
             syi = sy_all.astype(jnp.int32)
             lowv = jnp.take_along_axis(cdf_all, syi[..., None],
