@@ -1,87 +1,61 @@
 """A/B the scan-codec executable knobs on the current backend.
 
-Times full encode-mode and decode-mode dispatches of the 238-step scan
-program across (conv_chunks, lanes, batch) variants.
+Times full encode-mode and decode-mode dispatches of the whole-image scan
+program across (window_mode, conv_chunks, lanes, batch, pad_mode) variants.
 
-KNOWN ISSUE: at 2048x4096 this harness printed ~1 ms totals on the v5e
-while the identical call pattern run standalone measured 17-20 s
-(tools/prof_scan_manual.py, the trusted harness). Root cause untracked;
-prefer prof_scan_manual.py for anything above 512x1024.
+Each config runs in a FRESH subprocess via tools/prof_scan_manual.py (the
+validated timing pattern). The old in-process sweep printed bogus ~1 ms
+totals at 2048x4096 on the v5e while the identical call pattern in a fresh
+process measured 17-20 s/dispatch; the per-codec device constants of a
+high-res sweep add up to GBs in one process (814-step xs tables), so
+process isolation is the trustworthy harness by construction.
 
 Usage: python tools/prof_scan_variants.py [--vd 192] [--iters 3]
-       [--chunks 1 2 3 4] [--lanes 256] [--batch 1]
+       [--chunks 1 2 3 4] [--lanes 256] [--window gather burst]
+       [--pad gather mm] [--hw 512 1024]
 """
 
 import argparse
 import itertools
 import os
+import subprocess
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
+TOOLS = os.path.dirname(os.path.abspath(__file__))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vd", type=int, default=192)
+    ap.add_argument("--npart", type=int, default=16)
+    ap.add_argument("--channels", type=int, default=192)
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--chunks", type=int, nargs="*", default=[1, 2, 3, 4])
     ap.add_argument("--lanes", type=int, nargs="*", default=[256])
-    ap.add_argument("--batch", type=int, nargs="*", default=[1])
     ap.add_argument("--window", nargs="*", default=["gather"])
-    ap.add_argument("--hoist", type=int, nargs="*", default=[0])
+    ap.add_argument("--pad", nargs="*", default=["gather"])
     args = ap.parse_args()
 
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    from pseudocylindrical_convolution_tpu.models.cmpnet import (
-        CMPNetConfig, cmpnet_init)
-    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
-        ScanWavefrontCodec)
-
-    print("devices:", jax.devices())
-    cfg = CMPNetConfig(valid_dim=args.vd, channels=192, code_channels=192,
-                       npart=16)
-    geom = cfg.geometry()
-    H, W = args.hw
-    h, w = H // geom.npart // 8, W // 8
-    params = cmpnet_init(jax.random.PRNGKey(0), cfg)
-
-    for nch, L, B, wm, ho in itertools.product(args.chunks, args.lanes,
-                                               args.batch, args.window,
-                                               args.hoist):
-        codec = ScanWavefrontCodec(cfg, geom, h, w, batch=B, lanes=L,
-                                   conv_chunks=nch, window_mode=wm,
-                                   hoist=bool(ho))
-        codec.prepare(params["ent"])
-        teacher = jnp.zeros((B, codec.P), jnp.int32)
-        zwords = jnp.zeros((B * codec.NW,), jnp.uint32)
-        zoff = jnp.zeros((B, L), jnp.int32)
-        znb = jnp.zeros((B, L), jnp.uint32)
-
-        def timeit(fn):
-            o = fn()
-            jax.block_until_ready(o)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                o = fn()
-                jax.block_until_ready(o)
-            return (time.perf_counter() - t0) / args.iters
-
-        te = timeit(lambda: codec._run(zwords, zoff, znb, teacher,
-                                       decode=False))
-        td = timeit(lambda: codec._run(zwords, zoff, znb, teacher,
-                                       decode=True))
-        print(f"chunks={nch} lanes={L} B={B} win={wm} hoist={ho}: "
-              f"enc {te*1e3:7.0f} ms ({te/codec.nsteps*1e3:5.2f} ms/step)  "
-              f"dec {td*1e3:7.0f} ms ({td/codec.nsteps*1e3:5.2f} ms/step)",
-              flush=True)
+    for wm, nch, L, pad in itertools.product(args.window, args.chunks,
+                                             args.lanes, args.pad):
+        if pad == "mm" and wm != "burst":
+            continue
+        cmd = [sys.executable, os.path.join(TOOLS, "prof_scan_manual.py"),
+               "--vd", str(args.vd), "--npart", str(args.npart),
+               "--channels", str(args.channels), "--hw", str(args.hw[0]),
+               str(args.hw[1]), "--iters", str(args.iters),
+               "--configs", f"{wm}:{nch}:{L}:{pad}"]
+        if args.cpu:
+            cmd.append("--cpu")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if "decode=" in line:
+                print(line, flush=True)
+        if r.returncode != 0:
+            print(f"{wm}:{nch}:{L}:{pad}: FAILED rc={r.returncode}\n"
+                  f"{r.stderr[-500:]}", flush=True)
 
 
 if __name__ == "__main__":
