@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: assemble the scan codec's skew window in VMEM.
+
+`window_mode="pallas"` builds the whole (B, npart, h+4, T, CC) per-layer
+window of `codec/wavefront_scan.py` in ONE kernel instead of XLA gathers:
+
+  * interior rows (h per band): for a fixed (band, row) the window
+    positions are consecutive buffer columns (the burst decomposition,
+    `ScanWavefrontCodec._burst_setup`), so each row is ONE contiguous
+    (T, CC) HBM->VMEM DMA at a z-dependent row offset (scalar-prefetched),
+    masked to the valid column range, with the <=6 non-identity columns
+    patched from precomputed (XLA-side) pad-table values.
+  * vertical-pad rows (4 per band): each (band, pad-row, tap) provably
+    reads ONE source plane row (`_mmpad_tables` audit), DMA'd contiguously
+    and contracted with a one-hot-times-lerp-weight selection matrix built
+    in VMEM -- the MXU does the column remap, no per-position HBM gathers.
+
+The values are exactly the gather path's (copies, single exact products,
+and same-order bf16 adds), so coder ranges match the gather profile
+bit-for-bit (tested); the executable profile is still recorded in the
+stream container (FLAG2_PALLASWIN).
+
+On non-TPU backends the kernel runs in interpreter mode (tests); the
+compiled path is TPU-only. Reference behavior covered: the window half of
+`extension/entropy_conv_cuda_v2.cu`'s frontier compute (per-step causal
+context fetch), re-expressed for the TPU memory system.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _window_kernel(h, T, w, CC, npart,
+                   starts_ref, pstarts_ref, j0_ref, tpos_ref,   # SMEM
+                   buf_ref, v6_ref, colz_ref, wz_ref,           # inputs
+                   win_ref,                                     # output
+                   rowbuf, srcbuf, isem, psem):
+    bi = pl.program_id(0)
+    b = pl.program_id(1)
+
+    # ---- interior rows: start all h contiguous row-run DMAs up front ----
+    for r in range(h):
+        pltpu.make_async_copy(
+            buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
+            rowbuf.at[r], isem.at[r]).start()
+
+    # ---- vertical-pad rows: 8 single-source-row DMAs, double-buffered --
+    def pad_dma(k, tap, slot):
+        return pltpu.make_async_copy(
+            buf_ref.at[bi, pl.ds(pstarts_ref[b, k, tap], w), :],
+            srcbuf.at[slot], psem.at[slot])
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, w), 1)
+    pad_dma(0, 0, 0).start()
+    acc = None
+    for idx in range(8):
+        k, tap = idx // 2, idx % 2
+        slot = idx % 2
+        if idx + 1 < 8:
+            kn, tapn = (idx + 1) // 2, (idx + 1) % 2
+            pad_dma(kn, tapn, 1 - slot).start()
+        pad_dma(k, tap, slot).wait()
+        src = srcbuf[slot]                              # (w, CC)
+        colz = colz_ref[0, k, tap, :]                   # (T,)
+        wz = wz_ref[0, k, tap, :]                       # (T,)
+        m = (colz[:, None] == iota_w).astype(src.dtype) * wz[:, None]
+        tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
+                         ).astype(src.dtype)            # (T, CC)
+        if tap == 0:
+            acc = tapval
+        else:
+            wrow = [0, 1, h + 2, h + 3][k]
+            win_ref[0, 0, wrow] = acc + tapval
+
+    # ---- interior rows: mask + patch as each DMA lands ----
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    for r in range(h):
+        pltpu.make_async_copy(
+            buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
+            rowbuf.at[r], isem.at[r]).wait()
+        jj = iota_t + j0_ref[b, r]                      # (T, 1)
+        val = jnp.where((jj >= 0) & (jj < w), rowbuf[r],
+                        jnp.zeros((), rowbuf.dtype))
+        for k in range(6):
+            pk = tpos_ref[b, r, k]
+            val = val + jnp.where(iota_t == pk, v6_ref[0, 0, r, k][None, :],
+                                  jnp.zeros((), val.dtype))
+        win_ref[0, 0, 2 + r] = val
+
+
+def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
+    """Return f(starts, pstarts, j0, tpos, buf, v6, colz, wz) -> window.
+
+    starts (npart, h) int32: interior run start ROW of band/row in the flat
+    (Sbuf, CC) buffer; pstarts (npart, 4, 2) int32: pad source row starts;
+    j0 (npart, h) int32: window-origin column (for the validity mask);
+    tpos (npart, h, 6) int32: patch positions in t (out-of-range = no-op);
+    buf (B, Sbuf, CC); v6 (B, npart, h, 6, CC) pre-weighted patch values;
+    colz (npart, 4, 2, T) int32 / wz (npart, 4, 2, T) dtype: pad-row
+    selection tables for step z. Returns (B, npart, h+4, T, CC).
+    """
+    kern = functools.partial(_window_kernel, h, T, w, CC, npart)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, npart),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # buf
+            pl.BlockSpec((1, 1, h, 6, CC),
+                         lambda bi, b, *_: (bi, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),           # v6
+            pl.BlockSpec((1, 4, 2, T), lambda bi, b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),           # colz
+            pl.BlockSpec((1, 4, 2, T), lambda bi, b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),           # wz
+        ],
+        out_specs=pl.BlockSpec((1, 1, h + 4, T, CC),
+                               lambda bi, b, *_: (bi, b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, T, CC), dtype),
+            pltpu.VMEM((2, w, CC), dtype),
+            pltpu.SemaphoreType.DMA((h,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, npart, h + 4, T, CC), dtype),
+        interpret=interpret,
+    )

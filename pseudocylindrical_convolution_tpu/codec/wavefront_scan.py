@@ -133,7 +133,12 @@ class ScanWavefrontCodec:
         # wrap at the band's valid width, the right wrap) are patched from
         # the pad tables, and a static audit proves the decomposition
         # covers the table exactly (see _burst_setup).
-        assert window_mode in ("gather", "slab", "burst")
+        # window_mode "pallas": the whole per-layer window is assembled in
+        # VMEM by one Pallas kernel (codec/pallas_window.py) -- interior
+        # rows as contiguous run DMAs (the burst decomposition + margins),
+        # vertical-pad rows as in-kernel one-hot MXU contractions against
+        # single-source-row DMAs. Value-equal to the gather program.
+        assert window_mode in ("gather", "slab", "burst", "pallas")
         self.window_mode = window_mode
         # hoist: merge the input plane + 11 hidden buffers into ONE
         # (B, S, CCC) buffer and gather every layer's interior window rows
@@ -155,6 +160,8 @@ class ScanWavefrontCodec:
         assert pad_mode in ("gather", "mm")
         assert not (pad_mode == "mm" and window_mode != "burst"), \
             "pad_mode='mm' composes with the burst interior only"
+        assert not (window_mode == "pallas" and pad_mode != "gather"), \
+            "window_mode='pallas' builds its pad rows in-kernel"
         self.pad_mode = pad_mode
         G = cfg.ngroup
         npart = geom.npart
@@ -176,7 +183,7 @@ class ScanWavefrontCodec:
         self.offsets = np.concatenate([[0], np.cumsum(counts)])
         self.nsym = int(self.offsets[-1])
         self._row_off = 0                            # buffer-row margin
-        if window_mode == "burst":
+        if window_mode in ("burst", "pallas"):
             self._burst_setup()                      # sets _row_off, Sbuf
         maxlen = int(counts.max())
         self.R = (maxlen + lanes - 1) // lanes       # AC rounds per step
@@ -264,7 +271,10 @@ class ScanWavefrontCodec:
     @property
     def profile_flags2(self) -> int:
         from pseudocylindrical_convolution_tpu.codec import container
-        return container.FLAG2_MMPAD if self.pad_mode == "mm" else 0
+        f = container.FLAG2_MMPAD if self.pad_mode == "mm" else 0
+        if self.window_mode == "pallas":
+            f |= container.FLAG2_PALLASWIN
+        return f
 
     # ------------------------------------------------------------------
     def prepare(self, ent_params):
@@ -433,6 +443,65 @@ class ScanWavefrontCodec:
             win = win + jnp.where(m[None, ..., None], v6[:, :, :, k][
                 :, :, :, None, :], jnp.zeros((), win.dtype))
         return win
+
+    @functools.cached_property
+    def _pallas_call(self):
+        from pseudocylindrical_convolution_tpu.codec.pallas_window import (
+            build_window_call)
+        interpret = jax.default_backend() != "tpu"
+        return build_window_call(
+            B=self.B, npart=self.npart, h=self.h, w=self.w, T=self.G + 8,
+            CC=3 * self.G * self.cpn, Sbuf=self.Sbuf, dtype=self.dtype,
+            interpret=interpret)
+
+    @functools.cached_property
+    def _pallas_call_in0(self):
+        from pseudocylindrical_convolution_tpu.codec.pallas_window import (
+            build_window_call)
+        interpret = jax.default_backend() != "tpu"
+        return build_window_call(
+            B=self.B, npart=self.npart, h=self.h, w=self.w, T=self.G + 8,
+            CC=self.G, Sbuf=self.Sbuf, dtype=self.dtype,
+            interpret=interpret)
+
+    def _window_pallas(self, buf, z):
+        """Full (B, npart, h+4, T, CC) window via the Pallas VMEM kernel.
+
+        The XLA side computes only tiny per-step index/selection arrays
+        (scalar-prefetched into SMEM) and the <=6 pre-weighted patch
+        values per interior row; all HBM traffic for the window itself is
+        contiguous DMA inside the kernel."""
+        G, h, w, npart = self.G, self.h, self.w, self.npart
+        T = G + 8
+        B, CC = buf.shape[0], buf.shape[-1]
+        M1 = self._row_off
+        b = jnp.arange(npart)[:, None]
+        r = jnp.arange(h)[None, :]
+        j0 = z - G - 3 - h * b - r                       # (np, h)
+        starts = (M1 + (b * h + r) * w + j0).astype(jnp.int32)
+        # patch values, pre-weighted (same tables as _interior_burst)
+        idx6 = jnp.asarray(self._burst_idx6)
+        wgt6 = jnp.asarray(self._burst_wgt6.astype(self.dtype))
+        v6 = jnp.take(buf, idx6, axis=1) * wgt6[..., None]  # (B,np,h,6,CC)
+        tpos = (jnp.asarray(self._burst_cand)[:, None, :] - 2
+                - j0[..., None]).astype(jnp.int32)       # (np, h, 6)
+        # pad-row selection tables for step z
+        Rrow, colT, wgtT, cp0b = self._mmpad_tables
+        ccM = jnp.asarray(cp0b)[:, None] + z + jnp.arange(T)[None, :]
+        inb = (ccM >= 0) & (ccM <= w + 4)
+        ccc = jnp.clip(ccM, 0, w + 4)
+        colz = jnp.take_along_axis(jnp.asarray(colT), ccc, axis=1)
+        wz = jnp.take_along_axis(
+            jnp.asarray(wgtT.astype(self.dtype)), ccc, axis=1)
+        wz = jnp.where(inb, wz, jnp.zeros((), self.dtype))
+        colz = colz.reshape(npart, 4, 2, T).astype(jnp.int32)
+        wz = wz.reshape(npart, 4, 2, T)
+        pstarts = jnp.asarray(
+            (M1 + Rrow.astype(np.int64) * w).astype(np.int32).reshape(
+                npart, 4, 2))
+        call = self._pallas_call if CC != G else self._pallas_call_in0
+        return call(starts, pstarts, j0.astype(jnp.int32), tpos,
+                    buf, v6, colz, wz)
 
     def _pad_rows_g(self, buf, z):
         """The 4 vertical-pad window rows via the 2-tap tables (gather
@@ -671,9 +740,11 @@ class ScanWavefrontCodec:
     def _lhs(self, buf, z):
         """Window as conv lhs (B*npart, T, h+4, CC) for any window mode."""
         G, h, B, npart = self.G, self.h, self.B, self.npart
-        if self.window_mode in ("gather", "burst"):
+        if self.window_mode in ("gather", "burst", "pallas"):
             if self.window_mode == "gather":
                 win = self._window(buf, z)             # (B, np, h+4, T, CC)
+            elif self.window_mode == "pallas":
+                win = self._window_pallas(buf, z)
             else:
                 mid = self._interior_burst(buf, z)     # (B, np, h, T, CC)
                 pads = (self._pad_rows_mm(buf, z)      # (B, np, 4, T, CC)
@@ -816,7 +887,7 @@ class ScanWavefrontCodec:
             mask = (j == tgt) & (j < wl)                       # (np,h,w,CC)
         upd = jnp.where(mask[None], cells.astype(buf.dtype)[:, :, :, None, :],
                         jnp.zeros((), buf.dtype))          # (B,np,h,wb,CC)
-        if self.window_mode == "burst":
+        if self.window_mode in ("burst", "pallas"):
             # margin-carrying buffer: streaming add into the core rows
             # (static slice -> fused dynamic-update-slice, no extra copy)
             B = cells.shape[0]
@@ -1337,14 +1408,15 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     container.check_stream(hdr0, fnames[0], container.MODE_SCAN, geom.npart,
                            cfg.valid_dim, h, w)
     flags = hdr0.get("flags", 0)
+    flags2 = hdr0.get("flags2", 0)
     dtype = jnp.bfloat16 if flags & container.FLAG_BF16 else jnp.float32
     window_mode = ("slab" if flags & container.FLAG_SLAB
                    else "burst" if flags & container.FLAG_BURST
+                   else "pallas" if flags2 & container.FLAG2_PALLASWIN
                    else "gather")
     conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
     hoist = bool(flags & container.FLAG_HOIST)
-    pad_mode = ("mm" if hdr0.get("flags2", 0) & container.FLAG2_MMPAD
-                else "gather")
+    pad_mode = ("mm" if flags2 & container.FLAG2_MMPAD else "gather")
     codec = _prepared(get_scan_codec(cfg, geom, h, w, int(hdr0["batch"]),
                                      int(hdr0["lanes"]), dtype=dtype,
                                      conv_chunks=conv_chunks,

@@ -437,3 +437,60 @@ def test_roundtrip_burst_mmpad(setup):
         plain.prepare(params["ent"])
         with pytest.raises(ValueError, match="profile"):
             plain.decode_files(fns)
+
+
+def test_pallas_window_matches_burst(setup):
+    """window_mode='pallas' (VMEM kernel, interpret mode off-TPU) must
+    reproduce the burst-mode window exactly at every step, for both the
+    hidden-layer and the input-plane channel widths."""
+    cfg, geom, params, codec0, mask = setup
+    cb = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                            dtype=jnp.float32, window_mode="burst")
+    cp = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                            dtype=jnp.float32, window_mode="pallas")
+    rng = np.random.default_rng(83)
+    for CC in (3 * cfg.ngroup * cp.cpn, cfg.ngroup):
+        buf = jnp.asarray(
+            rng.standard_normal((B, cp.Sbuf, CC)).astype(np.float32))
+        for z in range(cp.nsteps):
+            mid = cb._interior_burst(buf, jnp.int32(z))
+            pads = cb._pad_rows_g(buf, jnp.int32(z))
+            want = jnp.concatenate(
+                [pads[:, :, 0:2], mid, pads[:, :, 2:4]], axis=2)
+            got = cp._window_pallas(buf, jnp.int32(z))
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got),
+                                          err_msg=f"CC={CC} step {z}")
+
+
+def test_roundtrip_pallas_window(setup):
+    """Pallas-window profile: bit-identical coder ranges to the gather
+    program, clean roundtrip, FLAG2_PALLASWIN recorded and enforced."""
+    from pseudocylindrical_convolution_tpu.codec import container
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="pallas",
+                               conv_chunks=2)
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=89)
+
+    rng = np.random.default_rng(97)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(codec0), ranges(codec))
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fns = [os.path.join(td, f"s{i}.bin") for i in range(B)]
+        codec.encode_files(planes, fns)
+        hdr = container.read_stream(fns[0])
+        assert hdr["flags2"] & container.FLAG2_PALLASWIN
+        got = codec.decode_files(fns)
+        assert ((got == planes) | ~mask[None]).all()
