@@ -494,3 +494,39 @@ def test_roundtrip_pallas_window(setup):
         assert hdr["flags2"] & container.FLAG2_PALLASWIN
         got = codec.decode_files(fns)
         assert ((got == planes) | ~mask[None]).all()
+
+
+def test_pallas_window_wide_geometry_roundtrip():
+    """Pallas window at the scaling-shaped config (npart=8, 4x32 tiles,
+    ragged hindex): bit-exact roundtrip and range-equality with the plain
+    gather program in bf16 (the shipped dtype)."""
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=8)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(2), cfg)
+    h, w = 4, 32
+    c0 = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                            dtype=jnp.bfloat16)
+    cp = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                            dtype=jnp.bfloat16, window_mode="pallas")
+    c0.prepare(params["ent"])
+    cp.prepare(params["ent"])
+    hindex = geom.hindex(h * 8, w)
+    mask = np.zeros((8, cfg.ngroup, h, w), bool)
+    for b in range(8):
+        mask[b, :, :, :int(hindex[b])] = True
+    rng = np.random.default_rng(13)
+    planes = rng.integers(0, 8, (1, 8, cfg.ngroup, h, w)).astype(np.int32)
+    streams = cp.encode_planes(planes)
+    dec = cp.decode_streams(streams)
+    assert ((dec == planes) | ~mask[None]).all()
+
+    teacher = jnp.asarray(planes.reshape(1, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((1, 8), jnp.int32),
+                            jnp.zeros((1, 8), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(c0), ranges(cp))
