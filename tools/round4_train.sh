@@ -33,35 +33,58 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
 train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
 
 # point <run-dir> <prefix> <fallback-init> <install-path> <args...>
+#
+# POST-MORTEM (round 3, session 3): 4-epoch finetunes install RD-DEGRADED
+# points. Epoch 1 is the only E/D-phase epoch (loop.py: epoch % 4 == 1)
+# and a FRESH Adam at lr 1e-4 kicks the converged encoder/decoder off its
+# minimum (3_56 landed at MSE 0.00343 @ 0.250bpp vs source 2_56 at
+# 0.00138 @ 0.248bpp, tloss +2.1e-3); entropy-only epochs 2..4 cannot
+# repair distortion. 6 epochs gives E/D a recovery epoch at 5 -- the
+# recipe every converged extras run (2_56, 9_192) actually used. Gate the
+# install on the final anchor-relative tloss (good points sit in
+# [-3e-4, +9e-5]) so a diverged run never reaches the registry.
 point () {
     local D=$1 P=$2 FB=$3 OUT=$4; shift 4
+    if [ -f $OUT ]; then
+        echo "=== $OUT already installed; skipping ==="
+        return 0
+    fi
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
-            train --resume $D/${P}_trainstate.pkl --epochs 2 "$@" --save-dir $D
+            # warm Adam moments: the resumed E/D epoch is gentle
+            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
         else
-            # 4 epochs: same-vd finetunes (shapes match) converge in 3-4
-            # epochs in every round-3 run; 6 was headroom we can't afford
-            # with 12 points in one session
-            train --resume $FB --epochs 4 "$@" --save-dir $D
+            train --resume $FB --epochs 6 "$@" --save-dir $D
         fi
         touch $D/.done
     fi
+    # GATE is family-scaled: MSE tloss is in [0,1]-MSE units (good points
+    # sit in [-3e-4, +9e-5]); SSIM tloss is in SSIM units (installed
+    # synthetic-set points sit at +0.02..0.04 below the anchor).
+    local TL=$(grep "^tloss" $D/${P}_log.txt | tail -1 | awk '{print $2}')
+    if ! python -c "import sys; sys.exit(0 if float('$TL') < ${GATE:-3e-4} else 1)"; then
+        echo "=== $OUT: tloss $TL above gate ${GATE:-3e-4}; NOT installed ==="
+        return 0
+    fi
     mkdir -p "$(dirname $OUT)"
     cp $D/${P}_best_0.pkl $OUT
-    echo "=== installed $OUT ==="
+    echo "=== installed $OUT (tloss $TL) ==="
 }
 
 # MSE finetunes (lr default 1e-4: same recipe that converged for 2_56/9_192)
 point demo/train_run_3_56  ent_opt_192_56_16  demo/mse/2_56.pkl  demo/mse/3_56.pkl  --valid-dim 56  --alpha 1
 point demo/train_run_4_112 ent_opt_192_112_16 demo/mse/5_112.pkl demo/mse/4_112.pkl --valid-dim 112 --alpha 3
 point demo/train_run_8_192 ent_opt_192_192_16 demo/mse/9_192.pkl demo/mse/8_192.pkl --valid-dim 192 --alpha 3
-# SSIM finetunes (lr 1e-5: RD_EVIDENCE.md post-mortem)
+# SSIM finetunes (lr 1e-5: RD_EVIDENCE.md post-mortem); SSIM-units gate
+GATE=0.05
 point demo/train_run_ssim8_192 ent_opt_192_192_16 demo/mse/9_192.pkl demo/ssim/8_192.pkl \
     --valid-dim 192 --alpha 2 --beta 10 --gamma 0 --lr 1e-5
 point demo/train_run_ssim1_56  ent_opt_192_56_16  demo/mse/1_56.pkl  demo/ssim/1_56.pkl \
     --valid-dim 56 --alpha 3 --beta 10 --gamma 0 --lr 1e-5
+GATE=3e-4
 point demo/train_run_6_112 ent_opt_192_112_16 demo/mse/5_112.pkl demo/mse/6_112.pkl --valid-dim 112 --alpha 2
 point demo/train_run_7_112 ent_opt_192_112_16 demo/mse/6_112.pkl demo/mse/7_112.pkl --valid-dim 112 --alpha 1
+GATE=0.05
 point demo/train_run_ssim2_56 ent_opt_192_56_16 demo/mse/2_56.pkl demo/ssim/2_56.pkl \
     --valid-dim 56 --alpha 2 --beta 10 --gamma 0 --lr 1e-5
 

@@ -29,19 +29,33 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
 train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
 
 # point <run-dir> <prefix> <fallback-init> <install-path> <args...>
+# 6 epochs so E/D gets a recovery epoch at 5 (see the round4_train.sh
+# post-mortem: 4-epoch finetunes leave epoch-1 E/D churn unrepaired), and
+# an install gate on the final anchor-relative tloss in SSIM units
+# (installed synthetic-set SSIM points sit at +0.02..0.04 below anchor).
+GATE=0.05
 point () {
     local D=$1 P=$2 FB=$3 OUT=$4; shift 4
+    if [ -f $OUT ]; then
+        echo "=== $OUT already installed; skipping ==="
+        return 0
+    fi
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
-            train --resume $D/${P}_trainstate.pkl --epochs 2 "$@" --save-dir $D
+            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
         else
-            train --resume $FB --epochs 4 "$@" --save-dir $D
+            train --resume $FB --epochs 6 "$@" --save-dir $D
         fi
         touch $D/.done
     fi
+    local TL=$(grep "^tloss" $D/${P}_log.txt | tail -1 | awk '{print $2}')
+    if ! python -c "import sys; sys.exit(0 if float('$TL') < $GATE else 1)"; then
+        echo "=== $OUT: tloss $TL above gate $GATE; NOT installed ==="
+        return 0
+    fi
     mkdir -p "$(dirname $OUT)"
     cp $D/${P}_best_0.pkl $OUT
-    echo "=== installed $OUT ==="
+    echo "=== installed $OUT (tloss $TL) ==="
 }
 
 # SSIM finetunes at lr 1e-5 (RD_EVIDENCE.md post-mortem: 1e-4 diverges)
