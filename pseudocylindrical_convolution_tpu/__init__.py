@@ -8,5 +8,13 @@ coding. Structural reference: limuhit/pseudocylindrical_convolution
 """
 
 from pseudocylindrical_convolution_tpu.geometry import Geometry, set_weight
+from pseudocylindrical_convolution_tpu.utils.compilecache import (
+    enable_persistent_cache)
+
+# Every entry point (CLI, training loop, bench, tools) imports this package
+# before its first jit compile; cold XLA compiles through the TPU tunnel are
+# slow enough (>1 h for a wavefront program on a fresh machine) that the
+# on-disk executable cache is required infrastructure, not an optimization.
+enable_persistent_cache()
 
 __version__ = "0.1.0"

@@ -1,0 +1,40 @@
+"""Persistent XLA compilation cache.
+
+Every entry point calls :func:`enable_persistent_cache` before its first
+``jit`` compile. On this environment it is load-bearing: the TPU tunnel
+compiles cold scan-codec programs extremely slowly (a full wavefront
+program measured >1 h on a fresh machine), and each CLI/tool/training
+invocation is a separate process, so without an on-disk cache every
+process pays the full compile again. With it, a program compiles once per
+machine and every later process (including the benchmark runner) loads
+the serialized executable in seconds.
+
+Failure here must never break a run (e.g. a backend whose executables do
+not serialize just logs a JAX warning and compiles normally), so errors
+are swallowed.
+"""
+
+import os
+
+DEFAULT_CACHE_DIR = os.environ.get("PCONV_COMPILE_CACHE",
+                                   os.path.expanduser("~/jax_cache"))
+
+
+def enable_persistent_cache(path: str = "") -> None:
+    # Forced-CPU runs (tests, the multichip dryrun, quick verify drives)
+    # skip the cache: CPU AOT entries reload with machine-feature-mismatch
+    # warnings (XLA detects tuning flags like prefer-no-scatter as
+    # "missing" on the host) and the in-process compile is fast anyway.
+    # The TPU tunnel is the backend that needs it.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    path = path or DEFAULT_CACHE_DIR
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # the scan-step programs recompile per geometry; cache even the
+        # quick ones so multi-process tool chains stay warm
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - never break the caller
+        pass
