@@ -26,6 +26,12 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# A train invocation that dies (TPU tunnel outage, OOM, kill) must ABORT
+# the chain -- the first version treated any exit as stage completion,
+# marked .base_done after a backend-init failure, and steamed into the
+# full phase with a nonexistent resume checkpoint. `train` now exits the
+# chain on failure; stage markers are only touched after success.
+# /tmp/r3_stop lets the operator stop the chain at the next stage edge.
 DATA=/tmp/synth360
 [ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 256 --n-test 16
 head -128 $DATA/train.txt > $DATA/train128.txt
@@ -34,7 +40,13 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
         --difficulty-dict $DATA/train_val.dic --batch-size 2 --acc-batch 2 \
         --test-batch-size 2"
 
-train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
+train () {
+    [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; chain stopping ==="; exit 0; }
+    python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@" || {
+        echo "=== TRAIN FAILED (rc=$?) at: $* -- chain ABORTING ($(date -u)) ==="
+        exit 1
+    }
+}
 
 install () {  # install <src> <dst> <msg>
     mkdir -p "$(dirname $2)"
