@@ -29,6 +29,8 @@ Prints ONE JSON line.
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -39,7 +41,39 @@ import numpy as np
 REF_CODEC_MPS = 0.26   # derived estimate, see module docstring
 
 
+def _preflight(timeout_s: int = 360):
+    """Probe the device in a killable subprocess before committing to the
+    full bench. The axon tunnel can be down (observed: a launcher-side
+    relay outage mid-session); without this, backend init hangs ~25 min
+    in retries and the driver records a timeout instead of a diagnosable
+    artifact. Returns an error string, or None when healthy."""
+    code = ("import jax, jax.numpy as jnp; "
+            "(jnp.ones((8, 8)) * 2).block_until_ready(); print('DEVICE_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        if r.returncode == 0 and "DEVICE_OK" in r.stdout:
+            return None
+        return (f"device preflight failed rc={r.returncode}: "
+                f"{(r.stderr or r.stdout)[-300:]}")
+    except subprocess.TimeoutExpired:
+        return (f"device preflight timed out after {timeout_s}s "
+                "(TPU tunnel down?)")
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
 def main():
+    err = _preflight()
+    if err is not None:
+        print(json.dumps({
+            "metric": "codec_throughput_512x1024_encdec",
+            "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+            "error": err,
+        }))
+        return
     # the dense-encode path drains the host AC coder and the scan codec
     # packs streams on the host: concurrent CPU load (e.g. a test suite)
     # contaminates every number. Warn loudly rather than publish junk.
@@ -127,25 +161,42 @@ def main():
         pass
 
     if not os.environ.get("BENCH_SKIP_HIGHRES"):
-        # BASELINE config 4: 2048x4096 (814 wavefront steps), single image
-        Hh, Wh = 2048, 4096
-        xh = jax.random.uniform(jax.random.PRNGKey(99), (1, 3, Hh, Wh),
-                                jnp.float32)
-        jax.block_until_ready(xh)
-        fn = "/tmp/bench_hr.bin"
-        scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)  # warm
-        t0 = time.perf_counter()
-        scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)
-        t_he = time.perf_counter() - t0
-        scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))       # warm
-        t0 = time.perf_counter()
-        scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))
-        t_hd = time.perf_counter() - t0
-        os.remove(fn)
-        mph = Hh * Wh / 1e6
-        extra.update({"highres_encode_mps": round(mph / t_he, 4),
-                      "highres_decode_mps": round(mph / t_hd, 4),
-                      "highres_combined_mps": round(mph / (t_he + t_hd), 4)})
+        # BASELINE config 4: 2048x4096 (814 wavefront steps), single image.
+        # Budgeted: a cold compile of the high-res scan programs can exceed
+        # the driver's patience on a fresh machine (no persistent cache
+        # yet); on timeout the headline numbers above are still emitted.
+        budget = int(os.environ.get("BENCH_HIGHRES_BUDGET", "2400"))
+
+        def _on_alarm(signum, frame):
+            raise _SectionTimeout()
+
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(budget)
+        try:
+            Hh, Wh = 2048, 4096
+            xh = jax.random.uniform(jax.random.PRNGKey(99), (1, 3, Hh, Wh),
+                                    jnp.float32)
+            jax.block_until_ready(xh)
+            fn = "/tmp/bench_hr.bin"
+            scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)  # warm
+            t0 = time.perf_counter()
+            scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)
+            t_he = time.perf_counter() - t0
+            scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))       # warm
+            t0 = time.perf_counter()
+            scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))
+            t_hd = time.perf_counter() - t0
+            os.remove(fn)
+            mph = Hh * Wh / 1e6
+            extra.update({"highres_encode_mps": round(mph / t_he, 4),
+                          "highres_decode_mps": round(mph / t_hd, 4),
+                          "highres_combined_mps": round(mph / (t_he + t_hd),
+                                                        4)})
+        except _SectionTimeout:
+            extra["highres_skipped"] = f"budget {budget}s exceeded"
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     print(json.dumps({
         "metric": "codec_throughput_512x1024_encdec",
