@@ -95,6 +95,17 @@ fi
 
 BASE192=demo/mse/10_192.pkl
 
+# ---- bench cache warm ------------------------------------------------------
+# One bench run right after the flagship lands: the driver's end-of-round
+# bench.py then loads every program (dense encode, scan enc/dec at 512 and
+# 2048) from the persistent compile cache instead of paying cold compiles.
+# Also records an in-session BENCH datapoint in the log.
+if [ ! -f /tmp/.bench_warm_done ]; then
+    echo "=== [2b] bench cache warm ($(date -u)) ==="
+    timeout 7200 python bench.py && touch /tmp/.bench_warm_done \
+        || echo "bench warm failed/timed out (continuing)"
+fi
+
 # ---- staged vd=56 (alpha=3) ----------------------------------------------
 D=demo/train_run_vd56
 P=ent_opt_192_56_16
