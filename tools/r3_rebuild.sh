@@ -210,10 +210,17 @@ point demo/train_run_ssim112 ent_opt_192_112_16 demo/mse/5_112.pkl  demo/ssim/5_
 # ---- RD tables --------------------------------------------------------------
 echo "=== [7] rd_curve ($(date -u)) ==="
 ls $DATA/test_*.npy | head -6 > /tmp/r3_eval_list.txt
-python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt --decode \
+# tables via encode-side reconstruction (equal to the decoded image by the
+# bit-exactness tests; avoids cold scan-decode compiles per valid_dim) ...
+python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt \
     > /tmp/r3_rd_mse.log 2>&1 || true
 tail -20 /tmp/r3_rd_mse.log
-python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt --ssim --decode \
+python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt --ssim \
     > /tmp/r3_rd_ssim.log 2>&1 || true
 tail -20 /tmp/r3_rd_ssim.log
+# ... plus ONE full-bitstream roundtrip spot check on the flagship (its
+# scan programs are already in the compile cache from the bench warm)
+python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt \
+    --model-indices 9 --decode > /tmp/r3_rd_flagship_roundtrip.log 2>&1 || true
+tail -5 /tmp/r3_rd_flagship_roundtrip.log
 echo "=== REBUILD DONE ($(date -u)) ==="

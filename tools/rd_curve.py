@@ -3,7 +3,11 @@ all available rate points and report bpp/PSNR/SSIM vs the anchor curves.
 
 Usage:
   python tools/rd_curve.py --img-file list.txt [--ssim] [--model-indices 0 1]
-         [--decode]   # also decode+measure (slow); default encode-only bpp
+         [--decode]   # full bitstream roundtrip (slow: compiles the scan
+                      # decode program per valid_dim); without it, metrics
+                      # come from the encode-side reconstruction, which the
+                      # bit-exact roundtrip tests guarantee equals the
+                      # decoded image (bpp is always from real streams)
 
 Uses whatever checkpoints exist under demo/{mse,ssim} (pkl or converted
 torch); skips missing rate points.
@@ -31,7 +35,8 @@ def main():
     import jax.numpy as jnp
     from pseudocylindrical_convolution_tpu import cli
     from pseudocylindrical_convolution_tpu.codec.pipeline import (
-        encode_images, decode_image)
+        encode_images, decode_image, _encode_latents_plane,
+        _decode_image_from_latents)
     from pseudocylindrical_convolution_tpu.ops.projects import multi_project
     from pseudocylindrical_convolution_tpu.ops.ssim import ssim as ssim_fn
     from pseudocylindrical_convolution_tpu.ops.wspsnr import ws_psnr
@@ -56,19 +61,28 @@ def main():
                for i in range(len(imgs))]
         sizes = encode_images(params, xs, cfg, geom, fns)
         bpp = float(np.mean([s * 8 / 1024.0 / 512.0 for s in sizes]))
-        psnr = vssim = wsp = float("nan")
         if args.decode:
-            prs, sss, wss = [], [], []
             recs = decode_image(params, cfg, geom, fns)
-            for i, x in enumerate(xs):
-                px = multi_project(x, 171, 256, 0.5)
-                py = multi_project(recs[i:i + 1], 171, 256, 0.5)
-                mse = float(jnp.mean((px - py) ** 2))
-                prs.append(cli.psnr_f(mse))
-                sss.append(float(ssim_fn(px, py)))
-                wss.append(float(ws_psnr(x, jnp.asarray(recs[i:i + 1]))))
-            psnr, vssim = float(np.mean(prs)), float(np.mean(sss))
-            wsp = float(np.mean(wss))
+        else:
+            # encode-side reconstruction: quantized latents -> dense
+            # decoder. Equal to the decoded image whenever the scan
+            # roundtrip is bit-exact (tests/test_wavefront_scan.py), and
+            # avoids compiling the sequential decode program per valid_dim.
+            recs = jnp.concatenate([
+                _decode_image_from_latents(
+                    params, _encode_latents_plane(params, x, cfg, geom)[0],
+                    cfg, geom)
+                for x in xs])
+        prs, sss, wss = [], [], []
+        for i, x in enumerate(xs):
+            px = multi_project(x, 171, 256, 0.5)
+            py = multi_project(recs[i:i + 1], 171, 256, 0.5)
+            mse = float(jnp.mean((px - py) ** 2))
+            prs.append(cli.psnr_f(mse))
+            sss.append(float(ssim_fn(px, py)))
+            wss.append(float(ws_psnr(x, jnp.asarray(recs[i:i + 1]))))
+        psnr, vssim = float(np.mean(prs)), float(np.mean(sss))
+        wsp = float(np.mean(wss))
         anchor = (float(ssim_anchor(bpp)) if args.ssim
                   else -10 * np.log10(float(mse_anchor(bpp))))
         print(f"{names[mi]:>8} {bpp:8.4f} {psnr:8.2f} {vssim:8.4f} "
