@@ -5,33 +5,23 @@
 # scratch on the TPU tunnel, committing every installed checkpoint to git
 # the moment it lands so a reset can never zero the registry again.
 #
-# Stages (each .done-gated and resumable via the saved TrainState):
-#   0. deterministic dataset regen (seed 0 -- identical to round 3's)
-#   A. pallas window A/B (the round-3 checklist item; informs the shipped
-#      scan profile before the bench at round end)
-#   1. flagship --base phase, vd=192           (reconstruction pretrain)
-#   2. flagship full phase -> demo/mse/10_192.pkl
-#   3. staged vd=56  (init+full) -> demo/mse/1_56.pkl
-#   4. staged vd=112 (init+full) -> demo/mse/5_112.pkl
-#   5. SSIM finetune vd=192      -> demo/ssim/9_192.pkl
-#   6. extras (same-vd ladder, lr 1e-5 + tloss gates):
-#      mse/2_56, mse/9_192, ssim/5_112
-#   7. rd_curve tables over whatever is installed
+# ANYTIME DESIGN: the tunnel died once already this session, so every
+# long phase runs in 4-epoch segments; after each segment the best
+# checkpoint so far is installed+committed. Whenever the chain dies --
+# outage, wall clock, operator stop -- the registry holds the best model
+# trained so far. 4-epoch segments preserve train/loop.py's `epoch % 4`
+# E/D-vs-entropy cadence exactly (each invocation restarts its epoch
+# counter at 1; the TrainState resume carries params/opt/quant-count).
 #
-# Epoch budget is compressed vs round 2 (base 15+full 36) to fit one
-# session: base 10 + full 16; the round-2 run crossed the RD anchor at
-# full-epoch 9, and the best-checkpoint saver keeps the best epoch anyway.
+# Stage order puts the bench cache warm BEFORE training: the driver's
+# end-of-round bench.py must load its programs from the persistent
+# compile cache (a cold wavefront compile exceeds an hour here), and
+# that has to hold even if the round ends mid-training.
 #
-#   bash tools/r3_rebuild.sh >/tmp/r3_rebuild.log 2>&1 &
+#   bash tools/r3_rebuild.sh >>/tmp/r3_rebuild.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 
-# A train invocation that dies (TPU tunnel outage, OOM, kill) must ABORT
-# the chain -- the first version treated any exit as stage completion,
-# marked .base_done after a backend-init failure, and steamed into the
-# full phase with a nonexistent resume checkpoint. `train` now exits the
-# chain on failure; stage markers are only touched after success.
-# /tmp/r3_stop lets the operator stop the chain at the next stage edge.
 DATA=/tmp/synth360
 [ -d $DATA ] || python tools/make_synth_dataset.py --out $DATA --n-train 256 --n-test 16
 head -128 $DATA/train.txt > $DATA/train128.txt
@@ -40,6 +30,9 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
         --difficulty-dict $DATA/train_val.dic --batch-size 2 --acc-batch 2 \
         --test-batch-size 2"
 
+# A train invocation that dies (tunnel outage, OOM, kill) ABORTS the chain:
+# stage markers are only written after success, so a relaunch resumes from
+# the exact segment that failed. /tmp/r3_stop stops at the next edge.
 train () {
     [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; chain stopping ==="; exit 0; }
     python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@" || {
@@ -54,130 +47,87 @@ install () {  # install <src> <dst> <msg>
     git add -f "$2" && git commit -q -m "$3" && echo "=== committed $2 ==="
 }
 
-echo "=== [A] pallas window A/B ($(date -u)) ==="
-if [ ! -f /tmp/r3_pallas_ab.log ]; then
-    timeout 3600 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
-        --configs gather:4:256 pallas:4:256 pallas:2:256 \
-        > /tmp/r3_pallas_ab.log 2>&1 \
-        || echo "pallas A/B failed (see /tmp/r3_pallas_ab.log)"
-    tail -12 /tmp/r3_pallas_ab.log
+# seg_phase <dir> <prefix> <n_segments> <seg_epochs> <install|""> <first_resume|""> <args...>
+seg_phase () {
+    local D=$1 P=$2 NSEG=$3 SEGE=$4 OUT=$5 FIRST=$6; shift 6
+    local k0=1
+    [ -f $D/.seg ] && k0=$(( $(cat $D/.seg) + 1 ))
+    for k in $(seq $k0 $NSEG); do
+        echo "--- $D segment $k/$NSEG ($(date -u)) ---"
+        if [ -f $D/${P}_trainstate.pkl ]; then
+            train --resume $D/${P}_trainstate.pkl --epochs $SEGE "$@" --save-dir $D
+        else
+            train ${FIRST:+--resume $FIRST} --epochs $SEGE "$@" --save-dir $D
+        fi
+        echo $k > $D/.seg
+        if [ -n "$OUT" ] && ! cmp -s $D/${P}_best_0.pkl $OUT 2>/dev/null; then
+            install $D/${P}_best_0.pkl $OUT \
+                "Registry rebuild: $OUT (best after segment $k/$NSEG of $D)"
+        fi
+    done
+}
+
+# ---- bench cache warm -------------------------------------------------------
+# One bench run before training so BENCH_r03 never pays a cold compile,
+# whenever the driver runs it. Also records an in-session datapoint here.
+if [ ! -f /tmp/.bench_warm_done ]; then
+    echo "=== [B] bench cache warm ($(date -u)) ==="
+    timeout 7200 python bench.py && touch /tmp/.bench_warm_done \
+        || echo "bench warm failed/timed out (continuing to training)"
 fi
 
-# ---- flagship vd=192 ------------------------------------------------------
-D=demo/train_run
+# ---- flagship vd=192 --------------------------------------------------------
 P=ent_opt_192_192_16
 echo "=== [1] flagship base phase ($(date -u)) ==="
-if [ ! -f $D/.base_done ]; then
-    if [ -f $D/${P}_trainstate.pkl ]; then
-        train --valid-dim 192 --base --resume $D/${P}_trainstate.pkl \
-              --epochs 5 --save-dir $D
-    else
-        train --valid-dim 192 --base --epochs 10 --save-dir $D
-    fi
-    touch $D/.base_done
-fi
+seg_phase demo/train_run $P 3 4 "" "" --valid-dim 192 --base
 
-D=demo/train_run_full
 echo "=== [2] flagship full phase ($(date -u)) ==="
-if [ ! -f $D/.full_done ]; then
-    if [ -f $D/${P}_trainstate.pkl ]; then
-        train --valid-dim 192 --resume $D/${P}_trainstate.pkl \
-              --epochs 8 --save-dir $D
-    else
-        train --valid-dim 192 \
-              --resume demo/train_run/${P}_best_0.pkl \
-              --epochs 16 --save-dir $D
-    fi
-    touch $D/.full_done
-fi
-[ -f demo/mse/10_192.pkl ] || install $D/${P}_best_0.pkl demo/mse/10_192.pkl \
-    "Registry rebuild: flagship mse/10_192 retrained (base+full phases)"
+seg_phase demo/train_run_full $P 4 4 demo/mse/10_192.pkl \
+    demo/train_run/${P}_best_0.pkl --valid-dim 192
 
 BASE192=demo/mse/10_192.pkl
 
-# ---- bench cache warm ------------------------------------------------------
-# One bench run right after the flagship lands: the driver's end-of-round
-# bench.py then loads every program (dense encode, scan enc/dec at 512 and
-# 2048) from the persistent compile cache instead of paying cold compiles.
-# Also records an in-session BENCH datapoint in the log.
-if [ ! -f /tmp/.bench_warm_done ]; then
-    echo "=== [2b] bench cache warm ($(date -u)) ==="
-    timeout 7200 python bench.py && touch /tmp/.bench_warm_done \
-        || echo "bench warm failed/timed out (continuing)"
-fi
-
-# ---- staged vd=56 (alpha=3) ----------------------------------------------
-D=demo/train_run_vd56
+# ---- staged vd=56 (alpha=3) -------------------------------------------------
 P=ent_opt_192_56_16
 echo "=== [3] vd56 staged ($(date -u)) ==="
-if [ ! -f $D/.init_done ]; then
-    if [ -f $D/${P}_init_trainstate.pkl ]; then
+if [ ! -f demo/train_run_vd56/.init_done ]; then
+    if [ -f demo/train_run_vd56/${P}_init_trainstate.pkl ]; then
         train --valid-dim 56 --alpha 3 --init \
-              --resume $D/${P}_init_trainstate.pkl --epochs 2 --save-dir $D
+              --resume demo/train_run_vd56/${P}_init_trainstate.pkl \
+              --epochs 2 --save-dir demo/train_run_vd56
     else
         train --valid-dim 56 --alpha 3 --init --init-from $BASE192 \
-              --epochs 4 --save-dir $D
+              --epochs 4 --save-dir demo/train_run_vd56
     fi
-    touch $D/.init_done
+    touch demo/train_run_vd56/.init_done
 fi
-if [ ! -f $D/.full_done ]; then
-    if [ -f $D/${P}_trainstate.pkl ]; then
-        train --valid-dim 56 --alpha 3 --resume $D/${P}_trainstate.pkl \
-              --epochs 3 --save-dir $D
-    else
-        train --valid-dim 56 --alpha 3 --resume $D/${P}_init_best_0.pkl \
-              --epochs 6 --save-dir $D
-    fi
-    touch $D/.full_done
-fi
-[ -f demo/mse/1_56.pkl ] || install $D/${P}_best_0.pkl demo/mse/1_56.pkl \
-    "Registry rebuild: staged mse/1_56 (vd=56 alpha=3 from the flagship)"
+seg_phase demo/train_run_vd56f $P 2 4 demo/mse/1_56.pkl \
+    demo/train_run_vd56/${P}_init_best_0.pkl --valid-dim 56 --alpha 3
 
-# ---- staged vd=112 (alpha=1) ----------------------------------------------
-D=demo/train_run_vd112
+# ---- staged vd=112 (alpha=1) --------------------------------------------------
 P=ent_opt_192_112_16
 echo "=== [4] vd112 staged ($(date -u)) ==="
-if [ ! -f $D/.init_done ]; then
-    if [ -f $D/${P}_init_trainstate.pkl ]; then
+if [ ! -f demo/train_run_vd112/.init_done ]; then
+    if [ -f demo/train_run_vd112/${P}_init_trainstate.pkl ]; then
         train --valid-dim 112 --alpha 1 --init \
-              --resume $D/${P}_init_trainstate.pkl --epochs 2 --save-dir $D
+              --resume demo/train_run_vd112/${P}_init_trainstate.pkl \
+              --epochs 2 --save-dir demo/train_run_vd112
     else
         train --valid-dim 112 --alpha 1 --init --init-from $BASE192 \
-              --epochs 4 --save-dir $D
+              --epochs 4 --save-dir demo/train_run_vd112
     fi
-    touch $D/.init_done
+    touch demo/train_run_vd112/.init_done
 fi
-if [ ! -f $D/.full_done ]; then
-    if [ -f $D/${P}_trainstate.pkl ]; then
-        train --valid-dim 112 --alpha 1 --resume $D/${P}_trainstate.pkl \
-              --epochs 3 --save-dir $D
-    else
-        train --valid-dim 112 --alpha 1 --resume $D/${P}_init_best_0.pkl \
-              --epochs 6 --save-dir $D
-    fi
-    touch $D/.full_done
-fi
-[ -f demo/mse/5_112.pkl ] || install $D/${P}_best_0.pkl demo/mse/5_112.pkl \
-    "Registry rebuild: staged mse/5_112 (vd=112 alpha=1 from the flagship)"
+seg_phase demo/train_run_vd112f $P 2 4 demo/mse/5_112.pkl \
+    demo/train_run_vd112/${P}_init_best_0.pkl --valid-dim 112 --alpha 1
 
-# ---- SSIM flagship (lr 1e-5: RD_EVIDENCE.md post-mortem) -------------------
-D=demo/train_run_ssim192
+# ---- SSIM flagship (lr 1e-5: RD_EVIDENCE.md post-mortem) ----------------------
 P=ent_opt_192_192_16
 echo "=== [5] ssim 9_192 ($(date -u)) ==="
-if [ ! -f $D/.full_done ]; then
-    if [ -f $D/${P}_trainstate.pkl ]; then
-        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 --lr 1e-5 \
-              --resume $D/${P}_trainstate.pkl --epochs 3 --save-dir $D
-    else
-        train --valid-dim 192 --alpha 1 --beta 10 --gamma 0 --lr 1e-5 \
-              --resume $BASE192 --epochs 6 --save-dir $D
-    fi
-    touch $D/.full_done
-fi
-[ -f demo/ssim/9_192.pkl ] || install $D/${P}_best_0.pkl demo/ssim/9_192.pkl \
-    "Registry rebuild: ssim/9_192 (beta=10 finetune of the MSE flagship)"
+seg_phase demo/train_run_ssim192 $P 2 4 demo/ssim/9_192.pkl $BASE192 \
+    --valid-dim 192 --alpha 1 --beta 10 --gamma 0 --lr 1e-5
 
-# ---- extras: same-vd ladder (gentle lr + tloss install gates) --------------
+# ---- extras: same-vd ladder (gentle lr + tloss install gates) -----------------
 # point <run-dir> <prefix> <init-ckpt> <install-path> <gate> <args...>
 point () {
     local D=$1 P=$2 FB=$3 OUT=$4 GATE=$5; shift 5
@@ -207,9 +157,10 @@ point demo/train_run_vd192a2 ent_opt_192_192_16 demo/mse/10_192.pkl demo/mse/9_1
 point demo/train_run_ssim112 ent_opt_192_112_16 demo/mse/5_112.pkl  demo/ssim/5_112.pkl 0.05 \
     --valid-dim 112 --alpha 1 --beta 10 --gamma 0 --lr 1e-5
 
-# ---- RD tables --------------------------------------------------------------
+# ---- RD tables ----------------------------------------------------------------
 echo "=== [7] rd_curve ($(date -u)) ==="
 ls $DATA/test_*.npy | head -6 > /tmp/r3_eval_list.txt
+ls $DATA/test_*.npy | head -1 > /tmp/r3_eval1.txt
 # tables via encode-side reconstruction (equal to the decoded image by the
 # bit-exactness tests; avoids cold scan-decode compiles per valid_dim) ...
 python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt \
@@ -218,9 +169,9 @@ tail -20 /tmp/r3_rd_mse.log
 python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt --ssim \
     > /tmp/r3_rd_ssim.log 2>&1 || true
 tail -20 /tmp/r3_rd_ssim.log
-# ... plus ONE full-bitstream roundtrip spot check on the flagship (its
-# scan programs are already in the compile cache from the bench warm)
-python tools/rd_curve.py --img-file /tmp/r3_eval_list.txt \
+# ... plus ONE full-bitstream roundtrip spot check on the flagship (single
+# image: its B=1 scan programs are in the compile cache from the bench warm)
+python tools/rd_curve.py --img-file /tmp/r3_eval1.txt \
     --model-indices 9 --decode > /tmp/r3_rd_flagship_roundtrip.log 2>&1 || true
 tail -5 /tmp/r3_rd_flagship_roundtrip.log
 echo "=== REBUILD DONE ($(date -u)) ==="
