@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,7 @@ def run(args):
     test_idx = np.arange(len(test_ds))
 
     for epoch in range(1, args.epochs + 1):
+        t_epoch = time.perf_counter()
         # --base: reconstruction-only pretraining of encoder/decoder/quant
         # (the reference's trainDDP_Base phase); --init: entropy-only.
         train_ent = (not args.base) and (args.init or (epoch % 4 != 1))
@@ -172,6 +174,7 @@ def run(args):
                       args.test_batch_size, args.valid_dim, log,
                       beta=args.beta)
         log.log(saver.save(state.params, ls, state=state))
+        log.log(f"epoch {epoch} wall {time.perf_counter() - t_epoch:.1f}s")
     save_params(state.params, os.path.join(args.save_dir, f"{prefix}_final.pkl"))
 
 

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 
@@ -102,6 +103,14 @@ class ModelSaver:
         self.prefix = prefix
         os.makedirs(path, exist_ok=True)
         self.best = None
+        # best-loss memory persists across processes: segmented/resumed
+        # training (each segment is a fresh invocation) must not let a
+        # worse later epoch clobber {prefix}_best_i.pkl. Delete the
+        # sidecar to reset (the reference's --restart semantics).
+        self._meta = os.path.join(path, f"{prefix}_saver.json")
+        if os.path.exists(self._meta):
+            with open(self._meta) as f:
+                self.best = json.load(f)
 
     def init_loss(self, losses):
         if not isinstance(losses, (list, tuple)):
@@ -128,6 +137,8 @@ class ModelSaver:
         if state is not None:
             save_train_state(state, os.path.join(
                 self.path, f"{self.prefix}_trainstate.pkl"))
+        with open(self._meta, "w") as f:
+            json.dump(self.best, f)
         return msg
 
 

@@ -35,6 +35,19 @@ def test_model_saver_best_latest(tmp_path):
     assert "best_0" in msg
 
 
+def test_model_saver_best_survives_restart(tmp_path):
+    """Segmented training restarts the process every few epochs; a fresh
+    ModelSaver must keep the previous segments' best-loss memory so a worse
+    later epoch cannot clobber best_0 (sidecar {prefix}_saver.json)."""
+    params = cmpnet_init(jax.random.PRNGKey(0), CFG)
+    sv = ModelSaver(str(tmp_path), "t")
+    sv.save(params, [1.0])
+    sv2 = ModelSaver(str(tmp_path), "t")       # new process, same dir
+    assert sv2.best == [1.0]
+    assert "latest" in sv2.save(params, [1.5])  # worse: must NOT take best_0
+    assert "best_0" in sv2.save(params, [0.7])
+
+
 def test_fused_ent_conversion_roundtrip():
     """train subnets -> fused codec layout -> back == identity, and the
     fused thirds follow [weight, delta, mean] order (GMM batch layout)."""
