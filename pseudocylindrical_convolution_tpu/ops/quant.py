@@ -73,32 +73,39 @@ def _quantize(x, weight, mask):
     return top, q
 
 
-def _neg_hist(q, mask, channels, bins):
+def _neg_hist(q, mask, channels, bins, norm=None):
     onehot = jax.nn.one_hot(q, bins, dtype=jnp.float32)    # (N,C,H,W,bins)
     onehot = onehot * mask[..., None]
-    # per-tile mean over N (see module docstring: DP == single-device)
-    return -jnp.sum(onehot, axis=(0, 2, 3)) / q.shape[0]   # (C, bins)
+    # per-tile mean over N (see module docstring: DP == single-device).
+    # `norm` overrides the divisor for band-sharded calls where the local
+    # leading dim is npart/ndev but the contract is the GLOBAL tile count
+    # (a later psum then reproduces the single-device histogram exactly).
+    return -jnp.sum(onehot, axis=(0, 2, 3)) / (norm or q.shape[0])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def pseudo_quant(x, weight, mask, top_alpha=0.0001):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pseudo_quant(x, weight, mask, top_alpha=0.0001, norm=None):
     """Returns (top, qidx_float, neg_hist).
 
     x: (N, C, H, W) tiled values with N = batch*npart ordering irrelevant as
     long as ``mask`` ((N,1,H,W) or broadcastable) marks the valid region.
+    ``norm`` (static) overrides the 1/N normalization of the histogram and
+    the centroid-fit weight grad with the GLOBAL tile count -- pass
+    ``geom.npart`` from inside a band-sharded shard_map so the post-psum
+    values match the single-device op.
     """
     top, q = _quantize(x, weight, mask)
-    hist = _neg_hist(q, mask, weight.shape[0], weight.shape[1])
+    hist = _neg_hist(q, mask, weight.shape[0], weight.shape[1], norm)
     return top, q.astype(jnp.float32), hist
 
 
-def _quant_fwd(x, weight, mask, top_alpha):
+def _quant_fwd(x, weight, mask, top_alpha, norm):
     top, q = _quantize(x, weight, mask)
-    hist = _neg_hist(q, mask, weight.shape[0], weight.shape[1])
+    hist = _neg_hist(q, mask, weight.shape[0], weight.shape[1], norm)
     return (top, q.astype(jnp.float32), hist), (x, weight, mask, top, q)
 
 
-def _quant_bwd(top_alpha, res, grads):
+def _quant_bwd(top_alpha, norm, res, grads):
     x, weight, mask, top, q = res
     g_top, g_q, _ = grads
     bins = weight.shape[1]
@@ -109,7 +116,7 @@ def _quant_bwd(top_alpha, res, grads):
     # contrib[c, j] = sum over positions with q >= j of err
     sel = (q[..., None] >= jidx[None, None, None, None, :]).astype(x.dtype)
     # per-tile mean over N (see module docstring: DP == single-device)
-    wgrad = jnp.sum(err[..., None] * sel, axis=(0, 2, 3)) / x.shape[0]
+    wgrad = jnp.sum(err[..., None] * sel, axis=(0, 2, 3)) / (norm or x.shape[0])
     scale = jnp.concatenate(
         [jnp.ones_like(gaps[:, :1]), gaps[:, 1:]], axis=1)
     wgrad = wgrad * scale

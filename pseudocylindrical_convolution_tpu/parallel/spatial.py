@@ -155,3 +155,94 @@ def band_sharded_encode(params, cfg: CMPNetConfig, geom: Geometry,
 
     assert geom.npart % nband == 0, "npart must divide the band mesh"
     return jax.jit(fn)
+
+
+def band_sharded_loss_grads(cfg: CMPNetConfig, geom: Geometry, lw,
+                            mesh: Mesh):
+    """Band-parallel TRAINING: value_and_grad of the full reference loss
+    with the analysis/synthesis transforms sharded over latitude bands.
+
+    The reference has no tensor/spatial parallelism for training at all
+    (DDP only, trainDDP_Full.py:97-159); this is the TPU-native extra axis
+    that makes single-image high-resolution training fit: the encoder and
+    decoder conv stacks (all of the FLOPs and activation memory) run
+    device-local over npart/ndev bands with pseudo_pad exchanging exactly
+    ``pad`` boundary rows per call over the ICI ring
+    (ops/bandctx.LocalBands), while the cheap band-crossing tail -- 
+    sphere_uslice, ClipData, the 14-viewport projection loss, and the
+    entropy rate net on the quantized latents -- runs on the gathered
+    result. Loss and gradients equal the single-device
+    ``parallel.train._loss_terms`` (adjoint of ppermute is the reverse
+    ppermute, so autodiff of the halo exchange is exact); oracle-tested on
+    the CPU mesh in tests/test_spatial_sharding.py.
+
+    Returns a jitted fn(params, x) -> ((loss, (mse, ssim_loss, rate,
+    hist)), grads) for a single image x: (1, 3, H, W).
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from pseudocylindrical_convolution_tpu.models.cmpnet import _code_mask
+    from pseudocylindrical_convolution_tpu.models.entropy import (
+        entropy_net_apply)
+    from pseudocylindrical_convolution_tpu.models.transform import (
+        decoder_apply, encoder_apply)
+    from pseudocylindrical_convolution_tpu.ops.bandctx import LocalBands
+    from pseudocylindrical_convolution_tpu.ops.clip import clip_data
+    from pseudocylindrical_convolution_tpu.ops.dtow import dtow
+    from pseudocylindrical_convolution_tpu.ops.projects import multi_project
+    from pseudocylindrical_convolution_tpu.ops.quant import pseudo_quant
+    from pseudocylindrical_convolution_tpu.ops.slice import (sphere_slice,
+                                                             sphere_uslice)
+    from pseudocylindrical_convolution_tpu.ops.ssim import ssim
+
+    nd = mesh.devices.size
+    assert geom.npart % nd == 0, "npart must divide the band mesh"
+    ctx = LocalBands(geom, nd, axis_name="band")
+
+    def transform_local(params, tiles_l, qmask_l):
+        code = encoder_apply(params["encoder"], tiles_l, ctx, cfg._tdtype)
+        # norm=npart: keep the histogram / centroid-fit weight-grad
+        # divisor at the GLOBAL tile count so the psum below (and the
+        # implicit grad psum for the replicated weights) reproduces the
+        # single-device op exactly.
+        code_f, code_i, hist = pseudo_quant(
+            code, params["quant"]["weight"], qmask_l, cfg.top_alpha,
+            geom.npart)
+        vm = (jnp.arange(cfg.code_channels) < cfg.valid_dim
+              ).astype(code_f.dtype)[None, :, None, None]
+        tx_l = decoder_apply(params["decoder"], code_f * vm, ctx, cfg._tdtype)
+        # per-channel usage histogram is a global sum over bands
+        hist = jax.lax.psum(hist, "band")
+        return tx_l, code_i, hist
+
+    sharded = shard_map(
+        transform_local, mesh=mesh,
+        in_specs=(P(), P("band"), P("band")),
+        out_specs=(P("band"), P("band"), P()), check_vma=False)
+
+    def loss_fn(params, x):
+        tiles = sphere_slice(x, geom)
+        qmask = _code_mask(geom, 1, tiles.shape[2] // 16, tiles.shape[3] // 16)
+        tx, code_i, hist = sharded(params, tiles, qmask)
+        y = clip_data(sphere_uslice(tx, geom))
+        # entropy branch (latents are 16x smaller than the image; GSPMD
+        # keeps it band-sharded from code_i's sharding)
+        hcode = dtow(code_i[:, : cfg.valid_dim], 2, True)
+        ent_vec, mask = entropy_net_apply(params["ent"],
+                                          hcode - cfg.mean_val, geom,
+                                          cfg.ngroup, drop=cfg.init)
+        vp = lw.viewport_size
+        py = multi_project(y, vp, int(vp * 1.5), 0.5)
+        px = multi_project(x, vp, int(vp * 1.5), 0.5)
+        mse = jnp.mean((px - py) ** 2)
+        ssim_loss = 1.0 - ssim(px, py)
+        rate = jnp.sum(ent_vec) / jax.lax.stop_gradient(jnp.sum(mask))
+        loss = lw.gamma * mse + lw.beta * ssim_loss + lw.alpha * rate
+        return loss, (mse, ssim_loss, rate, hist)
+
+    def fn(params, x):
+        assert x.shape[0] == 1, "spatial parallelism is single-image"
+        return jax.value_and_grad(loss_fn, has_aux=True)(params, x)
+
+    return jax.jit(fn)

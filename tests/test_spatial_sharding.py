@@ -56,3 +56,34 @@ def test_halo_encode_uneven_mesh():
     mesh = make_band_mesh(4)
     enc = band_sharded_encode_halo(params, CFG, GEOM, mesh)
     np.testing.assert_array_equal(np.asarray(enc(params, x)), ref)
+
+
+def test_band_sharded_train_grads_match_unsharded():
+    """Band-parallel value_and_grad of the full training loss must match
+    the single-device parallel.train._loss_terms gradients (the halo
+    exchange's adjoint is the reverse ppermute; everything else is the
+    same arithmetic)."""
+    from pseudocylindrical_convolution_tpu.parallel.spatial import (
+        band_sharded_loss_grads)
+    from pseudocylindrical_convolution_tpu.parallel.train import (
+        LossWeights, _loss_terms)
+
+    params = cmpnet_init(jax.random.PRNGKey(2), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 128, 256))
+    lw = LossWeights(gamma=1.0, beta=0.0, alpha=1.0, viewport_size=17)
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        _loss_terms, has_aux=True)(params, x, CFG, GEOM, lw)
+
+    mesh = make_band_mesh(8)
+    fn = band_sharded_loss_grads(CFG, GEOM, lw, mesh)
+    (loss, aux), grads = fn(params, x)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux[3]), np.asarray(ref_aux[3]))
+    flat_r, _ = jax.flatten_util.ravel_pytree(ref_grads)
+    flat_g, _ = jax.flatten_util.ravel_pytree(grads)
+    # psum reduction order differs from the single-device sum: float32
+    # noise up to ~1e-6 absolute on near-zero elements is expected
+    np.testing.assert_allclose(np.asarray(flat_g), np.asarray(flat_r),
+                               rtol=2e-5, atol=3e-6)
