@@ -21,13 +21,23 @@ DEFAULT_CACHE_DIR = os.environ.get("PCONV_COMPILE_CACHE",
 
 
 def enable_persistent_cache(path: str = "") -> None:
-    # Forced-CPU runs (tests, the multichip dryrun, quick verify drives)
-    # skip the cache: CPU AOT entries reload with machine-feature-mismatch
-    # warnings (XLA detects tuning flags like prefer-no-scatter as
-    # "missing" on the host) and the in-process compile is fast anyway.
-    # The TPU tunnel is the backend that needs it.
+    # Forced-CPU runs (tests, the multichip dryrun, quick verify drives,
+    # the multi-process gloo workers) skip the cache: CPU AOT entries
+    # RELOAD WRONG -- XLA flags tuning preferences (prefer-no-scatter/
+    # gather) as missing host machine features and a reloaded executable
+    # can miscompute or SIGILL (observed: the 2-process multihost test
+    # failed only on its second run, loading entries the first run
+    # wrote). CPU is forced either via the env var or via
+    # jax.config.update BEFORE this package is imported, so check both.
+    # The TPU tunnel is the backend that needs the cache.
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return
+    try:
+        import jax
+        if (jax.config.jax_platforms or "").strip().lower() == "cpu":
+            return
+    except Exception:
+        pass
     path = path or DEFAULT_CACHE_DIR
     try:
         import jax
