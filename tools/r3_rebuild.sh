@@ -79,7 +79,9 @@ fi
 # ---- flagship vd=192 --------------------------------------------------------
 P=ent_opt_192_192_16
 echo "=== [1] flagship base phase ($(date -u)) ==="
-seg_phase demo/train_run $P 3 4 "" "" --valid-dim 192 --base
+# trimmed 12 -> 8 epochs for the late-tunnel-return budget (round 2's
+# base run was already at tloss 1.2e-3 by epoch 5)
+seg_phase demo/train_run $P 2 4 "" "" --valid-dim 192 --base
 
 echo "=== [2] flagship full phase ($(date -u)) ==="
 seg_phase demo/train_run_full $P 4 4 demo/mse/10_192.pkl \
