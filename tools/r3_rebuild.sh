@@ -72,7 +72,8 @@ seg_phase () {
 # whenever the driver runs it. Also records an in-session datapoint here.
 if [ ! -f /tmp/.bench_warm_done ]; then
     echo "=== [B] bench cache warm ($(date -u)) ==="
-    timeout 7200 python bench.py && touch /tmp/.bench_warm_done \
+    BENCH_HIGHRES_BUDGET=1200 timeout 5400 python bench.py \
+        && touch /tmp/.bench_warm_done \
         || echo "bench warm failed/timed out (continuing to training)"
 fi
 
