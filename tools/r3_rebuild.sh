@@ -44,7 +44,9 @@ train () {
 install () {  # install <src> <dst> <msg>
     mkdir -p "$(dirname $2)"
     cp "$1" "$2"
-    git add -f "$2" && git commit -q -m "$3" && echo "=== committed $2 ==="
+    # pathspec-limited commit: never sweep unrelated staged work in
+    git add -f "$2" && git commit -q -m "$3" -- "$2" \
+        && echo "=== committed $2 ==="
 }
 
 # seg_phase <dir> <prefix> <n_segments> <seg_epochs> <install|""> <first_resume|""> <args...>
