@@ -246,3 +246,61 @@ def band_sharded_loss_grads(cfg: CMPNetConfig, geom: Geometry, lw,
         return jax.value_and_grad(loss_fn, has_aux=True)(params, x)
 
     return jax.jit(fn)
+
+
+def make_band_train_step(cfg: CMPNetConfig, geom: Geometry, lw, tx_other,
+                         tx_ent, mesh: Mesh, check_iters: int = 100,
+                         count_lr: float = 1e-3, count_decay: float = 0.9):
+    """Band-parallel training step: TrainState in/out with the SAME
+    three-optimizer / quantizer-maintenance / clip semantics as
+    ``parallel.train.make_train_step`` (oracle-tested equal to it at
+    acc_batch=1), but gradients from :func:`band_sharded_loss_grads` --
+    the transform convs sharded over latitude bands. For high-resolution
+    single-image training where one device cannot hold the activations.
+
+    Returns step(state, x, train_ent) for x: (1, 3, H, W); wrap with
+    ``jax.jit(..., static_argnums=2)`` (train_ent selects the phase
+    statically, exactly like shard_train_step does for the DP step).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from pseudocylindrical_convolution_tpu.ops.quant import (
+        quant_update_weight)
+    from pseudocylindrical_convolution_tpu.parallel.train import (
+        TrainState, _clip_by_global_norm, _merge, _split)
+
+    vag = band_sharded_loss_grads(cfg, geom, lw, mesh)
+
+    def step(state: "TrainState", x, train_ent: bool):
+        params = state.params
+        count = state.count
+        do_upd = (state.step > 0) & (state.step % check_iters == 0)
+        new_w = quant_update_weight(params["quant"]["weight"], count)
+        qweight = jnp.where(do_upd, new_w, params["quant"]["weight"])
+        count = jnp.where(do_upd, count * count_decay, count)
+        params = {**params, "quant": {"weight": qweight}}
+
+        (loss, aux), grads = vag(params, x)
+        count = count - count_lr * aux[3]        # SGD on the usage counter
+
+        g_other, g_ent = _split(grads)
+        p_other, p_ent = _split(params)
+        if train_ent:
+            g_ent = _clip_by_global_norm(g_ent, lw.clip)
+            upd, opt_ent = tx_ent.update(g_ent, state.opt_ent, p_ent)
+            p_ent = optax.apply_updates(p_ent, upd)
+            opt_other = state.opt_other
+        else:
+            g_other = _clip_by_global_norm(g_other, lw.clip)
+            upd, opt_other = tx_other.update(g_other, state.opt_other,
+                                             p_other)
+            p_other = optax.apply_updates(p_other, upd)
+            opt_ent = state.opt_ent
+        new_state = TrainState(params=_merge(p_other, p_ent), count=count,
+                               opt_other=opt_other, opt_ent=opt_ent,
+                               step=state.step + 1)
+        return new_state, {"loss": loss, "mse": aux[0],
+                           "ssim_loss": aux[1], "rate": aux[2]}
+
+    return step

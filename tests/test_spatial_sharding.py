@@ -87,3 +87,49 @@ def test_band_sharded_train_grads_match_unsharded():
     # noise up to ~1e-6 absolute on near-zero elements is expected
     np.testing.assert_allclose(np.asarray(flat_g), np.asarray(flat_r),
                                rtol=2e-5, atol=3e-6)
+
+
+def test_band_train_step_phase_semantics():
+    """make_band_train_step must mirror make_train_step's contract: the
+    entropy phase updates ONLY the entropy params, the other phase ONLY
+    encoder/decoder/quant.weight, and the usage counter integrates the
+    (band-psum'd) histogram with the SGD rule count -= lr * hist."""
+    import jax.flatten_util
+    from pseudocylindrical_convolution_tpu.parallel.spatial import (
+        band_sharded_loss_grads, make_band_train_step)
+    from pseudocylindrical_convolution_tpu.parallel.train import (
+        LossWeights, create_train_state)
+
+    params = cmpnet_init(jax.random.PRNGKey(4), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 128, 256))
+    lw = LossWeights(viewport_size=17)
+    mesh = make_band_mesh(8)
+    state, tx_other, tx_ent = create_train_state(params, CFG)
+    step = jax.jit(make_band_train_step(CFG, GEOM, lw, tx_other, tx_ent,
+                                        mesh), static_argnums=2)
+
+    (_, aux) = band_sharded_loss_grads(CFG, GEOM, lw, mesh)(params, x)[0]
+
+    s1, m1 = step(state, x, True)          # entropy phase
+    assert np.isfinite(float(m1["loss"]))
+    np.testing.assert_array_equal(                      # other side frozen
+        np.asarray(s1.params["encoder"]["in"]["w"])
+        if "in" in s1.params["encoder"] else
+        np.asarray(jax.tree_util.tree_leaves(s1.params["encoder"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(params["encoder"])[0]))
+    ent_new = jax.flatten_util.ravel_pytree(s1.params["ent"])[0]
+    ent_old = jax.flatten_util.ravel_pytree(params["ent"])[0]
+    assert not np.array_equal(np.asarray(ent_new), np.asarray(ent_old))
+    np.testing.assert_allclose(                         # exact SGD count
+        np.asarray(s1.count),
+        np.asarray(state.count) - 1e-3 * np.asarray(aux[3]), rtol=1e-6)
+
+    s2, m2 = step(s1, x, False)            # encoder/decoder/quant phase
+    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_array_equal(                      # ent side frozen
+        np.asarray(jax.flatten_util.ravel_pytree(s2.params["ent"])[0]),
+        np.asarray(ent_new))
+    enc_new = jax.flatten_util.ravel_pytree(s2.params["encoder"])[0]
+    enc_old = jax.flatten_util.ravel_pytree(s1.params["encoder"])[0]
+    assert not np.array_equal(np.asarray(enc_new), np.asarray(enc_old))
+    assert int(s2.step) == 2
