@@ -135,7 +135,10 @@ def run(args):
     step_ent = shard_train_step(step_fn, mesh, True)
     step_other = shard_train_step(step_fn, mesh, False)
     eval_step = make_eval_step(cfg, geom, lw)
-    saver = ModelSaver(args.save_dir, prefix)
+    # best-loss memory persists only across true segmented resumes (full
+    # TrainState continuation); any fresh/finetune run resets it so the run
+    # is guaranteed to write its own {prefix}_best_i.pkl (ADVICE r3).
+    saver = ModelSaver(args.save_dir, prefix, resume=resume_state is not None)
 
     train_ds = SphereDataset(args.img_dir, args.train_list)
     test_ds = SphereDataset(args.img_dir, args.test_list)

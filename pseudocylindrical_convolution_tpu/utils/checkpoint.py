@@ -98,19 +98,24 @@ class ModelSaver:
     passes the full TrainState, `{prefix}_trainstate.pkl` additionally
     tracks the complete resumable state every save."""
 
-    def __init__(self, path: str = "./saved_models/", prefix: str = "default"):
+    def __init__(self, path: str = "./saved_models/", prefix: str = "default",
+                 resume: bool = False):
         self.path = path
         self.prefix = prefix
         os.makedirs(path, exist_ok=True)
         self.best = None
-        # best-loss memory persists across processes: segmented/resumed
-        # training (each segment is a fresh invocation) must not let a
-        # worse later epoch clobber {prefix}_best_i.pkl. Delete the
-        # sidecar to reset (the reference's --restart semantics).
+        # best-loss memory persists across processes so segmented/resumed
+        # training (each segment is a fresh invocation) can't let a worse
+        # later epoch clobber {prefix}_best_i.pkl — but ONLY for resumed
+        # runs. A fresh run into an existing save_dir resets the memory
+        # (the reference ModuleSaver resets per process), otherwise it
+        # could finish without ever writing a best checkpoint.
         self._meta = os.path.join(path, f"{prefix}_saver.json")
-        if os.path.exists(self._meta):
+        if resume and os.path.exists(self._meta):
             with open(self._meta) as f:
                 self.best = json.load(f)
+        elif not resume and os.path.exists(self._meta):
+            os.remove(self._meta)
 
     def init_loss(self, losses):
         if not isinstance(losses, (list, tuple)):

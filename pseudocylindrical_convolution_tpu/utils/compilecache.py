@@ -41,6 +41,11 @@ def enable_persistent_cache(path: str = "") -> None:
     path = path or DEFAULT_CACHE_DIR
     try:
         import jax
+        # respect a cache dir the embedding application configured before
+        # importing this package (library import must not clobber caller
+        # configuration; PCONV_COMPILE_CACHE remains the env override)
+        if jax.config.jax_compilation_cache_dir:
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # the scan-step programs recompile per geometry; cache even the

@@ -36,16 +36,28 @@ def test_model_saver_best_latest(tmp_path):
 
 
 def test_model_saver_best_survives_restart(tmp_path):
-    """Segmented training restarts the process every few epochs; a fresh
+    """Segmented training restarts the process every few epochs; a RESUMED
     ModelSaver must keep the previous segments' best-loss memory so a worse
     later epoch cannot clobber best_0 (sidecar {prefix}_saver.json)."""
     params = cmpnet_init(jax.random.PRNGKey(0), CFG)
     sv = ModelSaver(str(tmp_path), "t")
     sv.save(params, [1.0])
-    sv2 = ModelSaver(str(tmp_path), "t")       # new process, same dir
+    sv2 = ModelSaver(str(tmp_path), "t", resume=True)  # resumed segment
     assert sv2.best == [1.0]
     assert "latest" in sv2.save(params, [1.5])  # worse: must NOT take best_0
     assert "best_0" in sv2.save(params, [0.7])
+
+
+def test_model_saver_fresh_run_resets_best(tmp_path):
+    """A fresh (non-resume) run into an existing save_dir resets the
+    best-loss memory (ADVICE r3: otherwise a retrain can inherit the old
+    run's best and finish without writing any {prefix}_best_i.pkl)."""
+    params = cmpnet_init(jax.random.PRNGKey(0), CFG)
+    sv = ModelSaver(str(tmp_path), "t")
+    sv.save(params, [0.1])
+    sv2 = ModelSaver(str(tmp_path), "t")       # fresh retrain, same dir
+    assert sv2.best is None
+    assert "best_0" in sv2.save(params, [5.0])  # its own first epoch wins
 
 
 def test_fused_ent_conversion_roundtrip():

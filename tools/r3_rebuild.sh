@@ -145,7 +145,10 @@ point () {
         fi
         touch $D/.done
     fi
-    local TL=$(grep "^tloss" $D/${P}_log.txt | tail -1 | awk '{print $2}')
+    # gate on the MINIMUM tloss in the log: that is the epoch whose
+    # checkpoint ${P}_best_0.pkl actually holds (a run that regresses in
+    # its final epoch must not skip installing a best that beat the gate)
+    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | sort -g | head -1)
     if ! python -c "import sys; sys.exit(0 if float('$TL') < $GATE else 1)"; then
         echo "=== $OUT: tloss $TL above gate $GATE; NOT installed ==="
         return 0

@@ -49,6 +49,12 @@ def main():
                else range(len(names)))
     os.makedirs(args.tmp, exist_ok=True)
     xs = [jnp.asarray(cli._read_image(fn)) for fn in imgs]
+    # provenance tag so archived RD tables record which path produced the
+    # metrics: a real bitstream decode vs the encode-side reconstruction
+    # (equal by the bit-exactness tests, but a decode-path regression would
+    # only surface in --decode tables)
+    print("metrics: " + ("decoded (full bitstream roundtrip)" if args.decode
+                         else "enc-recon (encode-side reconstruction)"))
     print(f"{'model':>8} {'bpp':>8} {'psnr':>8} {'ssim':>8} {'wspsnr':>8} "
           f"{'anchor':>10}")
     for mi in indices:

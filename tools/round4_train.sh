@@ -61,7 +61,7 @@ point () {
     # GATE is family-scaled: MSE tloss is in [0,1]-MSE units (good points
     # sit in [-3e-4, +9e-5]); SSIM tloss is in SSIM units (installed
     # synthetic-set points sit at +0.02..0.04 below the anchor).
-    local TL=$(grep "^tloss" $D/${P}_log.txt | tail -1 | awk '{print $2}')
+    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | sort -g | head -1)
     if ! python -c "import sys; sys.exit(0 if float('$TL') < ${GATE:-3e-4} else 1)"; then
         echo "=== $OUT: tloss $TL above gate ${GATE:-3e-4}; NOT installed ==="
         return 0

