@@ -72,8 +72,12 @@ def _check_model_installed(model_idx: int, mse: bool):
         f"{lst[model_idx]}_{{encoder,decoder,ent}}.pt split files.")
 
 
-def load_codec_params(model_dir: str, prefix: str):
-    """Load {prefix}.pkl, or convert the reference's torch split files."""
+def load_codec_params(model_dir: str, prefix: str, template=None):
+    """Load {prefix}.pkl, or convert the reference's torch split files.
+
+    ``template`` (a cmpnet_init tree) makes the torch conversion strict in
+    both directions, like the reference's load_state_dict
+    (pseudo_codec.py:227): unknown keys raise AND missing keys raise."""
     from pseudocylindrical_convolution_tpu.utils.checkpoint import (
         load_params, load_torch_state_dict, reference_to_params)
     pkl = os.path.join(model_dir, f"{prefix}.pkl")
@@ -90,7 +94,8 @@ def load_codec_params(model_dir: str, prefix: str):
     if not any(sds.values()):
         raise FileNotFoundError(
             f"no checkpoint {pkl} or {prefix}_*.pt under {model_dir}")
-    return reference_to_params(sds["encoder"], sds["decoder"], sds["ent"])
+    return reference_to_params(sds["encoder"], sds["decoder"], sds["ent"],
+                               template=template)
 
 
 def _setup(model_idx: int, mse: bool, device_id: int = 0):
@@ -105,7 +110,14 @@ def _setup(model_idx: int, mse: bool, device_id: int = 0):
     prefix, vd, mdir = _model_spec(model_idx, mse)
     cfg = CMPNetConfig(valid_dim=vd)
     geom = cfg.geometry()
-    params = load_codec_params(mdir, prefix)
+    pkl = os.path.join(mdir, f"{prefix}.pkl")
+    template = None
+    if not os.path.exists(pkl):
+        # torch split-file conversion: validate against the model's own
+        # key set (strict load_state_dict semantics)
+        from pseudocylindrical_convolution_tpu.models.cmpnet import cmpnet_init
+        template = cmpnet_init(jax.random.PRNGKey(0), cfg)
+    params = load_codec_params(mdir, prefix, template=template)
     return cfg, geom, params
 
 

@@ -182,7 +182,9 @@ def load_torch_state_dict(path: str) -> dict:
 
 def reference_to_params(encoder_sd: dict | None = None,
                         decoder_sd: dict | None = None,
-                        ent_sd: dict | None = None) -> dict:
+                        ent_sd: dict | None = None,
+                        strict: bool = True,
+                        template: dict | None = None) -> dict:
     """Map reference checkpoints onto our param tree.
 
     The reference's codec-side modules are named encoder.* / decoder.* /
@@ -191,6 +193,17 @@ def reference_to_params(encoder_sd: dict | None = None,
     (3, nout, cin, 5, 5) form [weight_net, delta_net, mean_net]
     (EntEncoder at pseudo_codec.py:79-90; thirds order fixed by the GMM batch
     layout, entropy_gmm_table_cuda.cu:135-153).
+
+    With ``strict`` (the default) every input key must be consumed; a
+    renamed/unknown key in a user checkpoint raises instead of being
+    silently dropped. Pass ``template`` (a freshly-initialized param tree,
+    e.g. ``cmpnet_init(...)``) to additionally require the converted tree
+    to cover the model's key set exactly — the equivalent of torch's strict
+    ``load_state_dict`` (pseudo_codec.py:227): a typo'd key under a known
+    prefix would otherwise graft a dead leaf and leave a real one unset. ``quant.count`` (the quantizer usage histogram,
+    PseudoContextV2.py:250) is consumed but deliberately NOT placed in the
+    returned tree: our framework carries it in TrainState.count, not in
+    params — read it from the state dict directly when resuming training.
     """
     params: dict = {}
     flat: dict = {}
@@ -205,6 +218,30 @@ def reference_to_params(encoder_sd: dict | None = None,
         params["quant"] = {"weight": nested["quant"]["weight"]}
     if ent_sd:
         params["ent"] = _fused_ent_to_params(_flat_to_nested(ent_sd)["ent"])
+    if strict:
+        # every key the converter read must round-trip out of the result;
+        # anything left over would have been silently dropped
+        consumed = set(_nested_to_flat(
+            {k: v for k, v in params.items() if k != "ent"}))
+        consumed.add("quant.count")  # -> TrainState.count, see docstring
+        leftover = (set(flat) - consumed)
+        if ent_sd:
+            leftover |= set(ent_sd) - set(train_ent_to_fused(params["ent"]))
+        if leftover:
+            raise ValueError(
+                "reference checkpoint keys not consumed by the converter: "
+                + ", ".join(sorted(leftover)[:8])
+                + (f" (+{len(leftover)-8} more)" if len(leftover) > 8 else ""))
+    if template is not None:
+        have = set(_nested_to_flat(params))
+        want = {k for k in _nested_to_flat(template)
+                if k.split(".")[0] in params}  # only parts that were loaded
+        if have != want:
+            diff = sorted(have ^ want)
+            raise ValueError(
+                "converted checkpoint does not match the model's key set: "
+                + ", ".join(diff[:8])
+                + (f" (+{len(diff)-8} more)" if len(diff) > 8 else ""))
     return params
 
 
