@@ -77,11 +77,46 @@ def test_roundtrip_bf16_profile(setup_bf16):
     _roundtrip(cfg, codec, mask, seed=7)
 
 
+def test_encode_decode_share_one_compiled_executable(setup):
+    """THE load-bearing bit-exactness contract: encode (teacher-forced) and
+    decode run the SAME compiled executable -- the mode flag is a traced
+    runtime input, never a static argument, so the CDF tables the encoder
+    coded with are identical to the decoder's by construction (the property
+    the reference gets from replaying identical CUDA kernels).
+
+    Two assertions make the structural guarantee a tested invariant:
+    1. the jit cache holds exactly ONE executable after an encode AND a
+       decode have both run (a static/donated mode arg would make it two);
+    2. the lowered HLO for the decode=True and decode=False signatures is
+       byte-identical (the flag is data, not specialization).
+    """
+    cfg, geom, params, codec, mask = setup
+    rng = np.random.default_rng(12)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    streams = codec.encode_planes(planes)          # decode=False path
+    codec.decode_streams(streams)                  # decode=True path
+    assert codec._program._cache_size() == 1
+
+    args = (codec._weights, jnp.zeros((B * codec.NW,), jnp.uint32),
+            jnp.zeros((B, L), jnp.int32), jnp.zeros((B, L), jnp.uint32),
+            jnp.asarray(planes.reshape(B, -1)))
+    hlo_enc = codec._program.lower(*args, jnp.asarray(False)).as_text()
+    hlo_dec = codec._program.lower(*args, jnp.asarray(True)).as_text()
+    assert hlo_enc == hlo_dec
+
+
 def test_scan_tables_match_dense_program(setup):
     """The skew-window conv step must compute the same causal network as the
     dense table program: coder ranges should agree exactly (both are fp32
     convs over identical inputs; a rare off-by-one from reassociated
-    reductions is tolerated, a structural error shifts many entries)."""
+    reductions is tolerated, a structural error shifts many entries).
+
+    NOTE the tolerance here is deliberate and NOT load-bearing for the
+    bitstream: what protects decodability is that encoder and decoder
+    dispatch one shared executable (test_encode_decode_share_one_compiled_
+    executable above). This test only cross-checks the scan network against
+    the independently-written dense program; ±1-ulp CDF divergence between
+    two DIFFERENT XLA programs is expected reassociation noise."""
     cfg, geom, params, codec, mask = setup
     rng = np.random.default_rng(3)
     planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
