@@ -47,6 +47,7 @@ CHUNKS_SHIFT = 4        # bits 4-7 hold conv_chunks - 1
 FLAG2_MMPAD = 1         # second flag byte (was reserved padding; old
                         # streams carry 0 = plain gather pads)
 FLAG2_PALLASWIN = 2     # window assembled by the Pallas VMEM kernel
+FLAG2_FUSEDSTEP = 4     # fused window+conv Pallas layer-step kernel
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 

@@ -138,7 +138,12 @@ class ScanWavefrontCodec:
         # rows as contiguous run DMAs (the burst decomposition + margins),
         # vertical-pad rows as in-kernel one-hot MXU contractions against
         # single-source-row DMAs. Value-equal to the gather program.
-        assert window_mode in ("gather", "slab", "burst", "pallas")
+        # window_mode "fused": one Pallas kernel per layer-step assembles
+        # the window in VMEM AND runs the sheared conv from VMEM
+        # (codec/pallas_fused.py): the window never reaches HBM, only the
+        # frontier cells do; the layer kernel stays VMEM-resident across
+        # all bands. conv_chunks selects the in-kernel group chunking.
+        assert window_mode in ("gather", "slab", "burst", "pallas", "fused")
         self.window_mode = window_mode
         # hoist: merge the input plane + 11 hidden buffers into ONE
         # (B, S, CCC) buffer and gather every layer's interior window rows
@@ -160,8 +165,9 @@ class ScanWavefrontCodec:
         assert pad_mode in ("gather", "mm")
         assert not (pad_mode == "mm" and window_mode != "burst"), \
             "pad_mode='mm' composes with the burst interior only"
-        assert not (window_mode == "pallas" and pad_mode != "gather"), \
-            "window_mode='pallas' builds its pad rows in-kernel"
+        assert not (window_mode in ("pallas", "fused")
+                    and pad_mode != "gather"), \
+            "pallas/fused window modes build their pad rows in-kernel"
         self.pad_mode = pad_mode
         G = cfg.ngroup
         npart = geom.npart
@@ -183,7 +189,7 @@ class ScanWavefrontCodec:
         self.offsets = np.concatenate([[0], np.cumsum(counts)])
         self.nsym = int(self.offsets[-1])
         self._row_off = 0                            # buffer-row margin
-        if window_mode in ("burst", "pallas"):
+        if window_mode in ("burst", "pallas", "fused"):
             self._burst_setup()                      # sets _row_off, Sbuf
         maxlen = int(counts.max())
         self.R = (maxlen + lanes - 1) // lanes       # AC rounds per step
@@ -274,6 +280,8 @@ class ScanWavefrontCodec:
         f = container.FLAG2_MMPAD if self.pad_mode == "mm" else 0
         if self.window_mode == "pallas":
             f |= container.FLAG2_PALLASWIN
+        if self.window_mode == "fused":
+            f |= container.FLAG2_FUSEDSTEP
         return f
 
     # ------------------------------------------------------------------
@@ -464,8 +472,9 @@ class ScanWavefrontCodec:
             CC=self.G, Sbuf=self.Sbuf, dtype=self.dtype,
             interpret=interpret)
 
-    def _window_pallas(self, buf, z):
-        """Full (B, npart, h+4, T, CC) window via the Pallas VMEM kernel.
+    def _pallas_prep(self, buf, z):
+        """Per-step scalar/table inputs shared by the Pallas window and
+        fused kernels: burst starts, patch values, pad-row selections.
 
         The XLA side computes only tiny per-step index/selection arrays
         (scalar-prefetched into SMEM) and the <=6 pre-weighted patch
@@ -473,7 +482,6 @@ class ScanWavefrontCodec:
         contiguous DMA inside the kernel."""
         G, h, w, npart = self.G, self.h, self.w, self.npart
         T = G + 8
-        B, CC = buf.shape[0], buf.shape[-1]
         M1 = self._row_off
         b = jnp.arange(npart)[:, None]
         r = jnp.arange(h)[None, :]
@@ -499,9 +507,44 @@ class ScanWavefrontCodec:
         pstarts = jnp.asarray(
             (M1 + Rrow.astype(np.int64) * w).astype(np.int32).reshape(
                 npart, 4, 2))
-        call = self._pallas_call if CC != G else self._pallas_call_in0
-        return call(starts, pstarts, j0.astype(jnp.int32), tpos,
-                    buf, v6, colz, wz)
+        return starts, pstarts, j0.astype(jnp.int32), tpos, v6, colz, wz
+
+    def _window_pallas(self, buf, z):
+        """Full (B, npart, h+4, T, CC) window via the Pallas VMEM kernel."""
+        CC = buf.shape[-1]
+        starts, pstarts, j0, tpos, v6, colz, wz = self._pallas_prep(buf, z)
+        call = self._pallas_call if CC != self.G else self._pallas_call_in0
+        return call(starts, pstarts, j0, tpos, buf, v6, colz, wz)
+
+    @functools.cached_property
+    def _fused_calls(self):
+        return {}
+
+    def _fused_conv(self, buf, z, layer):
+        """Fused window+conv layer-step (codec/pallas_fused.py): returns
+        frontier cells (B, npart, h, cout3) with bias/activation applied,
+        the window staying VMEM-resident."""
+        from pseudocylindrical_convolution_tpu.codec.pallas_fused import (
+            build_fused_conv_call)
+        CC = buf.shape[-1]
+        K = layer["k"]                                 # (9, 5, CI, cout3)
+        CI, cout3 = K.shape[2], K.shape[3]
+        key = (CC, CI, cout3)
+        if key not in self._fused_calls:
+            self._fused_calls[key] = build_fused_conv_call(
+                B=self.B, npart=self.npart, h=self.h, w=self.w,
+                T=self.G + 8, CC=CC, CI=CI, cout3=cout3,
+                nchunks=self.conv_chunks, Sbuf=self.Sbuf, dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
+        starts, pstarts, j0, tpos, v6, colz, wz = self._pallas_prep(buf, z)
+        cells = self._fused_calls[key](
+            starts, pstarts, j0, tpos, buf, K.reshape(45, CI, cout3),
+            v6, colz, wz)
+        cells = cells + layer["b"].reshape(1, 1, 1, cout3)
+        if layer["a"] is not None:
+            a = layer["a"].reshape(1, 1, 1, cout3)
+            cells = jnp.where(cells >= 0, cells, a * cells)
+        return cells
 
     def _pad_rows_g(self, buf, z):
         """The 4 vertical-pad window rows via the 2-tap tables (gather
@@ -766,6 +809,8 @@ class ScanWavefrontCodec:
 
         buf: (B, Sbuf, CC) subnet-stacked layer buffer [or (B, Sbuf, G)
         input plane]; returns channel-last cells (B, npart, h, 3*C_out)."""
+        if self.window_mode == "fused":
+            return self._fused_conv(buf, z, layer)
         return self._conv_cells(self._lhs(buf, z), layer)
 
     def _conv_cells(self, lhs, layer):
@@ -887,7 +932,7 @@ class ScanWavefrontCodec:
             mask = (j == tgt) & (j < wl)                       # (np,h,w,CC)
         upd = jnp.where(mask[None], cells.astype(buf.dtype)[:, :, :, None, :],
                         jnp.zeros((), buf.dtype))          # (B,np,h,wb,CC)
-        if self.window_mode in ("burst", "pallas"):
+        if self.window_mode in ("burst", "pallas", "fused"):
             # margin-carrying buffer: streaming add into the core rows
             # (static slice -> fused dynamic-update-slice, no extra copy)
             B = cells.shape[0]
@@ -1413,6 +1458,7 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     window_mode = ("slab" if flags & container.FLAG_SLAB
                    else "burst" if flags & container.FLAG_BURST
                    else "pallas" if flags2 & container.FLAG2_PALLASWIN
+                   else "fused" if flags2 & container.FLAG2_FUSEDSTEP
                    else "gather")
     conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
     hoist = bool(flags & container.FLAG_HOIST)

@@ -565,3 +565,77 @@ def test_pallas_window_wide_geometry_roundtrip():
         return np.asarray(packed)
 
     np.testing.assert_array_equal(ranges(c0), ranges(cp))
+
+
+def test_fused_conv_matches_gather_cells(setup):
+    """window_mode='fused' (window assembly + sheared conv in one Pallas
+    kernel) must reproduce the gather-path frontier cells at every step,
+    for the input-plane and hidden-layer widths, with and without group
+    chunking. Both paths accumulate fp32, so agreement is to fp32
+    reassociation noise (the summation ORDER differs: 45 explicit taps vs
+    one XLA conv); decodability never rests on this -- fused streams carry
+    FLAG2_FUSEDSTEP and decode on the same executable."""
+    cfg, geom, params, codec0, mask = setup
+    for chunks in (1, 2):
+        cg = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                                dtype=jnp.float32, conv_chunks=chunks)
+        cf = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                                dtype=jnp.float32, window_mode="fused",
+                                conv_chunks=chunks)
+        cg.prepare(params["ent"])
+        cf.prepare(params["ent"])
+        rng = np.random.default_rng(97)
+        for li in (0, 1, 11):                      # plane, hidden, output
+            layer = cf._weights[li]
+            CC = cfg.ngroup if li == 0 else 3 * cfg.ngroup * cf.cpn
+            # fused buffers carry burst margins; the margins are zero in a
+            # real run (only core rows are ever written), the gather
+            # codec's buffer is exactly the core rows, and columns beyond
+            # each band's valid width are NEVER written (the burst audit's
+            # provably-zero case relies on that invariant)
+            core = rng.standard_normal(
+                (B, 4, H, W, CC)).astype(np.float32)
+            wl = np.asarray(geom.hindex(H * 4, W))
+            for bb in range(4):
+                core[:, bb, :, int(wl[bb]):] = 0.0
+            core = jnp.asarray(core.reshape(B, cf.S, CC))
+            buf_f = jnp.zeros((B, cf.Sbuf, CC), jnp.float32)
+            buf_f = buf_f.at[:, cf._row_off:cf._row_off + cf.S].set(core)
+            buf_g = core
+            for z in (0, cf.nsteps // 2, cf.nsteps - 1):
+                want = np.asarray(cg._frontier_conv(buf_g, jnp.int32(z),
+                                                    layer))
+                got = np.asarray(cf._fused_conv(buf_f, jnp.int32(z), layer))
+                np.testing.assert_allclose(
+                    got, want, rtol=2e-5, atol=2e-5,
+                    err_msg=f"chunks={chunks} layer={li} step={z}")
+
+
+def test_roundtrip_fused(setup):
+    """Full fused-mode roundtrip: bit-exact symbols, container records the
+    FLAG2_FUSEDSTEP profile, plain decoders reject fused streams."""
+    import os
+    import tempfile
+
+    from pseudocylindrical_convolution_tpu.codec import container
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.float32, window_mode="fused",
+                               conv_chunks=2)
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=101)
+
+    rng = np.random.default_rng(103)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    with tempfile.TemporaryDirectory() as td:
+        fns = [os.path.join(td, f"s{i}.bin") for i in range(B)]
+        codec.encode_files(planes, fns)
+        hdr = container.read_stream(fns[0])
+        assert hdr["flags2"] & container.FLAG2_FUSEDSTEP
+        got = codec.decode_files(fns)
+        assert ((got == planes) | ~mask[None]).all()
+        plain = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                                   dtype=jnp.float32, conv_chunks=2)
+        plain.prepare(params["ent"])
+        with pytest.raises(ValueError, match="profile"):
+            plain.decode_files(fns)
