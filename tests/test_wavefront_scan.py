@@ -639,3 +639,14 @@ def test_roundtrip_fused(setup):
         plain.prepare(params["ent"])
         with pytest.raises(ValueError, match="profile"):
             plain.decode_files(fns)
+
+
+def test_roundtrip_fused_bf16(setup):
+    """Fused mode under the default bf16 activation profile (what the chip
+    A/B runs): bit-exact roundtrip is per-executable."""
+    cfg, geom, params, codec0, mask = setup
+    codec = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                               dtype=jnp.bfloat16, window_mode="fused",
+                               conv_chunks=1)
+    codec.prepare(params["ent"])
+    _roundtrip(cfg, codec, mask, seed=107)

@@ -92,6 +92,20 @@ seg_phase demo/train_run_full $P 4 4 demo/mse/10_192.pkl \
 
 BASE192=demo/mse/10_192.pkl
 
+# ---- pallas/fused window A/B on the real chip (VERDICT r3 item 2) ----------
+# After the flagship lands (nothing blocks the registry) but before the
+# long ladder tail: measure the Pallas window and the fused window+conv
+# step kernels against the gather baseline. Results append to
+# /tmp/pallas_ab.log; prof prints incrementally so a timeout still leaves
+# partial rows. Flip DEFAULT_WINDOW_MODE only on a clear win.
+if [ ! -f /tmp/.pallas_ab_done ]; then
+    echo "=== [2b] pallas/fused A/B ($(date -u)) ==="
+    timeout 7200 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+        --configs gather:4:256 pallas:4:256 fused:4:256 fused:2:256 fused:1:256 \
+        >> /tmp/pallas_ab.log 2>&1 && touch /tmp/.pallas_ab_done
+    tail -25 /tmp/pallas_ab.log
+fi
+
 # ---- staged vd=56 (alpha=3) -------------------------------------------------
 P=ent_opt_192_56_16
 echo "=== [3] vd56 staged ($(date -u)) ==="
