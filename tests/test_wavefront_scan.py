@@ -650,3 +650,27 @@ def test_roundtrip_fused_bf16(setup):
                                conv_chunks=1)
     codec.prepare(params["ent"])
     _roundtrip(cfg, codec, mask, seed=107)
+
+
+def test_fused_wide_geometry_roundtrip():
+    """Fused window+conv at the scaling-shaped config (npart=8, 4x32 tiles,
+    ragged hindex, bf16): bit-exact roundtrip -- de-risks the high-res
+    (config 4) on-chip A/B, whose geometry differs from the flagship in
+    exactly these axes (taller tiles, ragged band widths)."""
+    cfg = CMPNetConfig(valid_dim=8, channels=8, code_channels=8, npart=8)
+    geom = cfg.geometry()
+    params = cmpnet_init(jax.random.PRNGKey(2), cfg)
+    h, w = 4, 32
+    codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=8,
+                               dtype=jnp.bfloat16, window_mode="fused",
+                               conv_chunks=2)
+    codec.prepare(params["ent"])
+    hindex = geom.hindex(h * 8, w)
+    mask = np.zeros((8, cfg.ngroup, h, w), bool)
+    for b in range(8):
+        mask[b, :, :, :int(hindex[b])] = True
+    rng = np.random.default_rng(17)
+    planes = rng.integers(0, 8, (1, 8, cfg.ngroup, h, w)).astype(np.int32)
+    streams = codec.encode_planes(planes)
+    dec = codec.decode_streams(streams)
+    assert ((dec == planes) | ~mask[None]).all()
