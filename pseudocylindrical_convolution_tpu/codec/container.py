@@ -48,6 +48,7 @@ FLAG2_MMPAD = 1         # second flag byte (was reserved padding; old
                         # streams carry 0 = plain gather pads)
 FLAG2_PALLASWIN = 2     # window assembled by the Pallas VMEM kernel
 FLAG2_FUSEDSTEP = 4     # fused window+conv Pallas layer-step kernel
+FLAG2_FUSEDUNROLL = 8   # fused kernel with python-unrolled conv taps
 _FMT = ">4sBBBBHHHHBB"
 _HLEN = struct.calcsize(_FMT)
 

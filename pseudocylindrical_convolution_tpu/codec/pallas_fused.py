@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart,
+def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                   starts_ref, pstarts_ref, j0_ref, tpos_ref,   # SMEM
                   buf_ref, k_ref, v6_ref, colz_ref, wz_ref,    # inputs
                   out_ref,                                     # output
@@ -118,8 +118,8 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart,
                 col0 = s * cout_full + g0 * cpg
                 ncol = c * cpg
 
-                def tap_body(i, acc, t0=t0, cs0=cs0, col0=col0, ncol=ncol):
-                    dy, dx = i // 5, i % 5
+                def tap(i, dy, dx, acc, t0=t0, cs0=cs0, col0=col0,
+                        ncol=ncol):
                     lhs = win[pl.ds(dx, h), pl.ds(t0 + dy, c),
                               pl.ds(cs0, CI)]           # (h, c, CI)
                     rhs = k_ref[pl.ds(i, 1), :, pl.ds(col0, ncol)][0]
@@ -127,9 +127,16 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart,
                         lhs, rhs, (((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
-                acc = jax.lax.fori_loop(
-                    0, 45, tap_body,
-                    jnp.zeros((h, c, ncol), jnp.float32))
+                acc = jnp.zeros((h, c, ncol), jnp.float32)
+                if unroll_taps:
+                    # static (dy, dx): every win/K slice has compile-time
+                    # offsets -- avoids Mosaic's dynamic unaligned
+                    # sublane/lane slicing at the cost of code size
+                    for i in range(45):
+                        acc = tap(i, i // 5, i % 5, acc)
+                else:
+                    acc = jax.lax.fori_loop(
+                        0, 45, lambda i, a: tap(i, i // 5, i % 5, a), acc)
                 # per-group diagonal: output col u (group gg = u // cpg)
                 # keeps y-slice c-1-gg (the _conv_cells masked reduction)
                 ysel = jax.lax.broadcasted_iota(jnp.int32, (c, ncol), 0)
@@ -143,7 +150,7 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart,
 
 
 def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
-                          Sbuf, dtype, interpret):
+                          Sbuf, dtype, interpret, unroll_taps=False):
     """Return f(starts, pstarts, j0, tpos, buf, K, v6, colz, wz) -> cells.
 
     starts/pstarts/j0/tpos: as `pallas_window.build_window_call`;
@@ -156,7 +163,7 @@ def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
     G = T - 8
     assert CC in (CI, 3 * CI) and G % nchunks == 0
     kern = functools.partial(_fused_kernel, h, T, w, CC, CI, cout3, G,
-                             nchunks, npart)
+                             nchunks, npart, unroll_taps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B,),

@@ -143,7 +143,13 @@ class ScanWavefrontCodec:
         # (codec/pallas_fused.py): the window never reaches HBM, only the
         # frontier cells do; the layer kernel stays VMEM-resident across
         # all bands. conv_chunks selects the in-kernel group chunking.
-        assert window_mode in ("gather", "slab", "burst", "pallas", "fused")
+        # "fusedu" = fused with the 45 conv taps python-unrolled (static
+        # slice offsets for Mosaic instead of dynamic unaligned slices).
+        assert window_mode in ("gather", "slab", "burst", "pallas",
+                               "fused", "fusedu")
+        self._fused_unroll = window_mode == "fusedu"
+        if window_mode == "fusedu":
+            window_mode = "fused"
         self.window_mode = window_mode
         # hoist: merge the input plane + 11 hidden buffers into ONE
         # (B, S, CCC) buffer and gather every layer's interior window rows
@@ -282,6 +288,8 @@ class ScanWavefrontCodec:
             f |= container.FLAG2_PALLASWIN
         if self.window_mode == "fused":
             f |= container.FLAG2_FUSEDSTEP
+            if self._fused_unroll:
+                f |= container.FLAG2_FUSEDUNROLL
         return f
 
     # ------------------------------------------------------------------
@@ -535,7 +543,8 @@ class ScanWavefrontCodec:
                 B=self.B, npart=self.npart, h=self.h, w=self.w,
                 T=self.G + 8, CC=CC, CI=CI, cout3=cout3,
                 nchunks=self.conv_chunks, Sbuf=self.Sbuf, dtype=self.dtype,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                unroll_taps=self._fused_unroll)
         starts, pstarts, j0, tpos, v6, colz, wz = self._pallas_prep(buf, z)
         cells = self._fused_calls[key](
             starts, pstarts, j0, tpos, buf, K.reshape(45, CI, cout3),
@@ -1458,7 +1467,8 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
     window_mode = ("slab" if flags & container.FLAG_SLAB
                    else "burst" if flags & container.FLAG_BURST
                    else "pallas" if flags2 & container.FLAG2_PALLASWIN
-                   else "fused" if flags2 & container.FLAG2_FUSEDSTEP
+                   else ("fusedu" if flags2 & container.FLAG2_FUSEDUNROLL
+                         else "fused") if flags2 & container.FLAG2_FUSEDSTEP
                    else "gather")
     conv_chunks = (flags >> container.CHUNKS_SHIFT) + 1
     hoist = bool(flags & container.FLAG_HOIST)

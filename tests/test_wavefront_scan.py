@@ -674,3 +674,34 @@ def test_fused_wide_geometry_roundtrip():
     streams = codec.encode_planes(planes)
     dec = codec.decode_streams(streams)
     assert ((dec == planes) | ~mask[None]).all()
+
+
+def test_roundtrip_fusedu(setup):
+    """Unrolled-taps fused variant ('fusedu'): bit-exact roundtrip, values
+    equal to the fori-taps fused kernel (same op sequence), and the
+    container distinguishes the profile (FLAG2_FUSEDUNROLL)."""
+    from pseudocylindrical_convolution_tpu.codec import container
+    cfg, geom, params, codec0, mask = setup
+    cu = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                            dtype=jnp.float32, window_mode="fusedu",
+                            conv_chunks=1)
+    cu.prepare(params["ent"])
+    _roundtrip(cfg, cu, mask, seed=109)
+    assert cu.profile_flags2 & container.FLAG2_FUSEDUNROLL
+
+    cf = ScanWavefrontCodec(cfg, geom, H, W, batch=B, lanes=L,
+                            dtype=jnp.float32, window_mode="fused",
+                            conv_chunks=1)
+    cf.prepare(params["ent"])
+    rng = np.random.default_rng(113)
+    planes = rng.integers(0, 8, (B, 4, cfg.ngroup, H, W)).astype(np.int32)
+    teacher = jnp.asarray(planes.reshape(B, -1))
+
+    def ranges(cd):
+        words = jnp.zeros((B * cd.NW,), jnp.uint32)
+        _, packed = cd._run(words, jnp.zeros((B, L), jnp.int32),
+                            jnp.zeros((B, L), jnp.uint32), teacher,
+                            decode=False)
+        return np.asarray(packed)
+
+    np.testing.assert_array_equal(ranges(cu), ranges(cf))

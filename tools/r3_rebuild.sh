@@ -101,7 +101,8 @@ BASE192=demo/mse/10_192.pkl
 if [ ! -f /tmp/.pallas_ab_done ]; then
     echo "=== [2b] pallas/fused A/B ($(date -u)) ==="
     timeout 7200 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
-        --configs gather:4:256 pallas:4:256 fused:4:256 fused:2:256 fused:1:256 \
+        --configs gather:4:256 pallas:4:256 fused:4:256 fusedu:4:256 \
+                  fused:1:256 \
         >> /tmp/pallas_ab.log 2>&1 && touch /tmp/.pallas_ab_done
     tail -25 /tmp/pallas_ab.log
 fi
