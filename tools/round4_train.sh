@@ -68,7 +68,11 @@ point () {
     fi
     mkdir -p "$(dirname $OUT)"
     cp $D/${P}_best_0.pkl $OUT
-    echo "=== installed $OUT (tloss $TL) ==="
+    # commit the install immediately (machine-reset lesson: an uncommitted
+    # registry can be zeroed by a driver restart; pathspec-limited so no
+    # unrelated staged work is swept in)
+    git add -f "$OUT" && git commit -q -m "Registry: $OUT (finetune, tloss $TL)" -- "$OUT"
+    echo "=== installed+committed $OUT (tloss $TL) ==="
 }
 
 # MSE finetunes (lr default 1e-4: same recipe that converged for 2_56/9_192)

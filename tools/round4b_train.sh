@@ -55,7 +55,9 @@ point () {
     fi
     mkdir -p "$(dirname $OUT)"
     cp $D/${P}_best_0.pkl $OUT
-    echo "=== installed $OUT (tloss $TL) ==="
+    # commit immediately (machine-reset lesson; pathspec-limited)
+    git add -f "$OUT" && git commit -q -m "Registry: $OUT (ssim finetune, tloss $TL)" -- "$OUT"
+    echo "=== installed+committed $OUT (tloss $TL) ==="
 }
 
 # SSIM finetunes at lr 1e-5 (RD_EVIDENCE.md post-mortem: 1e-4 diverges)
