@@ -47,29 +47,38 @@ def main():
     params = cmpnet_init(jax.random.PRNGKey(0), cfg)
 
     for spec in args.configs:
-        parts = spec.split(":")
-        wm, nch, L = parts[0], int(parts[1]), int(parts[2])
-        pad = parts[3] if len(parts) > 3 else "gather"
-        codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=L,
-                                   conv_chunks=nch, window_mode=wm,
-                                   pad_mode=pad)
-        codec.prepare(params["ent"])
-        teacher = jnp.zeros((1, codec.P), jnp.int32)
-        zwords = jnp.zeros((codec.NW,), jnp.uint32)
-        zoff = jnp.zeros((1, L), jnp.int32)
-        znb = jnp.zeros((1, L), jnp.uint32)
-        for dec in (False, True):
-            out = codec._run(zwords, zoff, znb, teacher, decode=dec)
-            jax.block_until_ready(out)
-            ts = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
+        # one config failing (e.g. a Pallas kernel rejected by the Mosaic
+        # compiler on real hardware) must not kill the remaining configs:
+        # every row of the A/B that CAN be measured should be.
+        try:
+            parts = spec.split(":")
+            wm, nch, L = parts[0], int(parts[1]), int(parts[2])
+            pad = parts[3] if len(parts) > 3 else "gather"
+            codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=L,
+                                       conv_chunks=nch, window_mode=wm,
+                                       pad_mode=pad)
+            codec.prepare(params["ent"])
+            teacher = jnp.zeros((1, codec.P), jnp.int32)
+            zwords = jnp.zeros((codec.NW,), jnp.uint32)
+            zoff = jnp.zeros((1, L), jnp.int32)
+            znb = jnp.zeros((1, L), jnp.uint32)
+            for dec in (False, True):
                 out = codec._run(zwords, zoff, znb, teacher, decode=dec)
                 jax.block_until_ready(out)
-                ts.append(time.perf_counter() - t0)
-            dt = min(ts)
-            print(f"{spec} decode={int(dec)}: {dt:7.2f}s  "
-                  f"{dt / codec.nsteps * 1e3:6.2f} ms/step", flush=True)
+                ts = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    out = codec._run(zwords, zoff, znb, teacher, decode=dec)
+                    jax.block_until_ready(out)
+                    ts.append(time.perf_counter() - t0)
+                dt = min(ts)
+                print(f"{spec} decode={int(dec)}: {dt:7.2f}s  "
+                      f"{dt / codec.nsteps * 1e3:6.2f} ms/step", flush=True)
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            print(f"{spec} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
 
 
 if __name__ == "__main__":
