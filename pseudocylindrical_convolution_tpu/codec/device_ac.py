@@ -5,7 +5,11 @@ The reference decodes every wavefront step on the host
 pseudo_codec.py:145-160), forcing a device->host round trip per step. Here
 the decoder state machine itself runs on the TPU as masked vector ops over
 L independent "lanes" (interleaved arithmetic-coder streams), so an entire
-image decodes in ONE device program (codec/wavefront_scan.py).
+image decodes in ONE device program (codec/wavefront_scan.py). Both
+renormalization loops are evaluated in CLOSED FORM (counts via clz, updates
+as batched shifts + one multi-bit stream read -- see _renorm), so the cost
+per decoded symbol is O(1) regardless of how many bits it consumes: decode
+speed is then nearly independent of the operating bitrate.
 
 Integer semantics are bit-identical to csrc/coder.cpp (STATE_SIZE=32,
 total=65536) using only uint32 arithmetic:
@@ -33,7 +37,6 @@ import numpy as np
 
 TOTAL_BITS = 16           # total = 65536 always (CDF monotonic repair)
 _TOP = jnp.uint32(1 << 31)
-_SECOND = jnp.uint32(1 << 30)
 _LOW31 = jnp.uint32((1 << 31) - 1)
 _U1 = jnp.uint32(1)
 _U16 = jnp.uint32(16)
@@ -96,61 +99,91 @@ def _shift16(c, rh, rl):
     return c * rh + (t >> _U16) + (u >> _U16)
 
 
-def _read_bit(state, take):
-    """Next stream bit per lane (0 past end); advances pos where take."""
+def _shl(x, n):
+    """x << n for n in [0, 32] (uint32; n >= 32 yields 0)."""
+    return jnp.where(n >= jnp.uint32(32), jnp.uint32(0),
+                     x << jnp.minimum(n, jnp.uint32(31)))
+
+
+def _ones(n):
+    """(1 << n) - 1 for n in [0, 32] (uint32)."""
+    return jnp.where(n >= jnp.uint32(32), jnp.uint32(0xFFFFFFFF),
+                     (_U1 << jnp.minimum(n, jnp.uint32(31))) - _U1)
+
+
+def _read_bits(state, n):
+    """Read the next n stream bits per lane, MSB-first, into the LOW n bits
+    of the result (bits past the lane end read as 0, matching
+    BitReader::get, csrc/coder.cpp:49-57). n: (..., L) uint32 in [0, 32];
+    pos advances by n. Lanes that must stay untouched pass n = 0."""
     pos = state["pos"]
-    widx = (state["word_off"].astype(jnp.uint32) + (pos >> jnp.uint32(5))
-            ).astype(jnp.int32)
-    word = jnp.take(state["words_ref"], widx)
-    bit = (word >> (jnp.uint32(31) - (pos & jnp.uint32(31)))) & _U1
-    bit = jnp.where(pos < state["nbits"], bit, jnp.uint32(0))
+    woff = state["word_off"].astype(jnp.uint32)
+    widx = (woff + (pos >> jnp.uint32(5))).astype(jnp.int32)
+    s = pos & jnp.uint32(31)
+    w0 = jnp.take(state["words_ref"], widx)          # clip-mode gather
+    w1 = jnp.take(state["words_ref"], widx + 1)
+    # 32-bit window starting at bit position pos. Any w1 bits that belong
+    # to the next lane's word span lie at stream positions >= this lane's
+    # padded span >= nbits, so the validity mask below zeroes them.
+    window = (w0 << s) | jnp.where(s > 0, _shr_pos(w1, jnp.uint32(32) - s),
+                                   jnp.uint32(0))
+    val = jnp.where(n >= jnp.uint32(32), window,
+                    _shr_pos(window, jnp.uint32(32) - n))
+    # zero the low (n - valid) bits that lie past the stream end
+    remi = jnp.maximum(state["nbits"].astype(jnp.int32)
+                       - pos.astype(jnp.int32), 0).astype(jnp.uint32)
+    ninv = n - jnp.minimum(n, remi)
+    val = val & ~_ones(ninv)
     state = dict(state)
-    state["pos"] = jnp.where(take, pos + _U1, pos)
-    return state, bit
+    state["pos"] = pos + n
+    return state, val
+
+
+def _shr_pos(x, n):
+    """x >> n for n in [0, 32] (uint32; n >= 32 yields 0)."""
+    return jnp.where(n >= jnp.uint32(32), jnp.uint32(0),
+                     x >> jnp.minimum(n, jnp.uint32(31)))
 
 
 def _renorm(state, active):
-    """Both renormalization loops of Decoder::read (csrc/coder.cpp:128-137),
-    run in lock-step across lanes with per-lane masking."""
+    """Both renormalization loops of Decoder::read (csrc/coder.cpp:128-137)
+    in closed form -- O(1) per symbol instead of one masked while_loop
+    iteration per consumed bit.
 
-    def c1(s):
-        return ((s["low"] ^ (s["low"] + s["range_m1"])) & _TOP) == 0
+    Loop 1 shifts out the identical leading bits of low/high one at a time;
+    its trip count is n1 = clz(low ^ high), and the iterated updates
+    telescope to single shifts (shifted-in 1s of high = (1<<n1)-1; the code
+    register appends the next n1 stream bits). Loop 2 (underflow) deletes
+    bit 30 while low has a 1 and high has a 0 there; its trip count is
+    n2 = min(clz(~low << 1), clz(high << 1)) and the updates telescope the
+    same way with the MSB pinned. Phase 2's preconditions (MSB(low)=0,
+    MSB(high)=1) hold after phase 1 by construction. Exactness is pinned by
+    the C++-oracle tests (tests/test_device_ac.py)."""
+    low, rm1, code = state["low"], state["range_m1"], state["code"]
+    high = low + rm1
 
-    def body1(s):
-        m = s["_m1"]
-        high = s["low"] + s["range_m1"]
-        s, bit = _read_bit(s, m)
-        s["code"] = jnp.where(m, (s["code"] << _U1) | bit, s["code"])
-        nlow = s["low"] << _U1
-        nhigh = (high << _U1) | _U1
-        s["low"] = jnp.where(m, nlow, s["low"])
-        s["range_m1"] = jnp.where(m, nhigh - nlow, s["range_m1"])
-        s["_m1"] = active & c1(s)
-        return s
+    n1 = jax.lax.clz(low ^ high).astype(jnp.uint32)   # clz(0) = 32
+    n1 = jnp.where(active, n1, jnp.uint32(0))
+    state, bits1 = _read_bits(state, n1)
+    low1 = _shl(low, n1)
+    high1 = _shl(high, n1) | _ones(n1)
+    code1 = _shl(code, n1) | bits1
 
-    def c2(s):
-        high = s["low"] + s["range_m1"]
-        return (s["low"] & ~high & _SECOND) != 0
+    # clz(x << 1) is exact for counts <= 30 and saturates to 32 when bits
+    # 30..0 are all underflow-shaped; the true trip count there is 31 (the
+    # shifted-in 0/1 at bit 0 breaks the condition when it reaches bit 30)
+    n2 = jnp.minimum(jnp.minimum(jax.lax.clz(_shl(~low1, _U1)),
+                                 jax.lax.clz(_shl(high1, _U1))),
+                     jnp.uint32(31)).astype(jnp.uint32)
+    n2 = jnp.where(active, n2, jnp.uint32(0))
+    state, bits2 = _read_bits(state, n2)
+    low2 = _shl(low1, n2) & _LOW31
+    high2 = (_shl(high1, n2) & _LOW31) | _TOP | _ones(n2)
+    code2 = (code1 & _TOP) | (_shl(code1, n2) & _LOW31) | bits2
 
-    def body2(s):
-        m = s["_m1"]
-        high = s["low"] + s["range_m1"]
-        s, bit = _read_bit(s, m)
-        ncode = (s["code"] & _TOP) | ((s["code"] << _U1) & _LOW31) | bit
-        s["code"] = jnp.where(m, ncode, s["code"])
-        nlow = (s["low"] << _U1) & _LOW31
-        nhigh = ((high << _U1) & _LOW31) | _TOP | _U1
-        s["low"] = jnp.where(m, nlow, s["low"])
-        s["range_m1"] = jnp.where(m, nhigh - nlow, s["range_m1"])
-        s["_m1"] = active & c2(s)
-        return s
-
-    state = dict(state)
-    state["_m1"] = active & c1(state)
-    state = jax.lax.while_loop(lambda s: jnp.any(s["_m1"]), body1, state)
-    state["_m1"] = active & c2(state)
-    state = jax.lax.while_loop(lambda s: jnp.any(s["_m1"]), body2, state)
-    del state["_m1"]
+    state["low"] = jnp.where(active, low2, low)
+    state["range_m1"] = jnp.where(active, high2 - low2, rm1)
+    state["code"] = jnp.where(active, code2, code)
     return state
 
 
