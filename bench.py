@@ -137,9 +137,12 @@ def main():
     t_enc = time.perf_counter() - t0
     os.remove("/tmp/bench_warm.bin")
 
-    recs = scan_decode_images(params, cfg, geom, fns[:1], (H, W))  # compile
+    # pixel_fmt u8 = the CLI --dec configuration (images convert to 8-bit
+    # on device; the tunnel moves ~20 MB/s D2H so float pulls are material)
+    recs = scan_decode_images(params, cfg, geom, fns[:1], (H, W),
+                              pixel_fmt="u8")                  # compile
     t0 = time.perf_counter()
-    recs = scan_decode_images(params, cfg, geom, fns, (H, W))
+    recs = scan_decode_images(params, cfg, geom, fns, (H, W), pixel_fmt="u8")
     t_dec = time.perf_counter() - t0
     assert recs.shape[0] == iters
     total_bytes = sum(os.path.getsize(fn) for fn in fns)
@@ -194,9 +197,11 @@ def main():
             t0 = time.perf_counter()
             scan_encode_images(params, [xh], cfg, geom, [fn], batch=1)
             t_he = time.perf_counter() - t0
-            scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))       # warm
+            scan_decode_images(params, cfg, geom, [fn], (Hh, Wh),
+                               pixel_fmt="u8")                          # warm
             t0 = time.perf_counter()
-            scan_decode_images(params, cfg, geom, [fn], (Hh, Wh))
+            scan_decode_images(params, cfg, geom, [fn], (Hh, Wh),
+                               pixel_fmt="u8")
             t_hd = time.perf_counter() - t0
             os.remove(fn)
             mph = Hh * Wh / 1e6

@@ -128,8 +128,12 @@ def _read_image(path: str):
 
 def _write_image(path: str, data):
     import cv2
-    img = (np.asarray(data)[0] * 255.0).transpose(1, 2, 0)
-    cv2.imwrite(path, img.astype(np.uint8))
+    data = np.asarray(data)
+    if data.dtype == np.uint8:        # device-side converted (pixel_fmt u8)
+        img = data[0].transpose(1, 2, 0)
+    else:
+        img = (data[0] * 255.0).transpose(1, 2, 0).astype(np.uint8)
+    cv2.imwrite(path, img)
 
 
 def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0,
@@ -157,8 +161,12 @@ def encoding(img_list, code_list, model_idx=0, mse=True, device_id=0,
         print(f"Encoding {fn}, bitrate: {bpp:.3f}bpp")
 
 
-def _decode_any(params, cfg, geom, code_list):
-    """Dispatch on the stream header: every file is self-describing."""
+def _decode_any(params, cfg, geom, code_list, pixel_fmt="f32"):
+    """Dispatch on the stream header: every file is self-describing.
+
+    pixel_fmt "u8" (scan mode only) converts to 8-bit on device -- used by
+    --dec where the destination is a PNG anyway; --test keeps "f32" so
+    metrics match the reference's float-tensor evaluation exactly."""
     from pseudocylindrical_convolution_tpu.codec import container
     from pseudocylindrical_convolution_tpu.codec.pipeline import decode_image
     from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
@@ -177,7 +185,7 @@ def _decode_any(params, cfg, geom, code_list):
     image_hw = sizes.pop()
     if mode == container.MODE_SCAN:
         return scan_decode_images(params, cfg, geom, list(code_list),
-                                  image_hw)
+                                  image_hw, pixel_fmt=pixel_fmt)
     if mode == container.MODE_INCR:
         from pseudocylindrical_convolution_tpu.codec.incremental import (
             incr_decode_images)
@@ -188,7 +196,7 @@ def _decode_any(params, cfg, geom, code_list):
 
 def decoding(code_list, out_list, model_idx=0, mse=True, device_id=0):
     cfg, geom, params = _setup(model_idx, mse, device_id)
-    recs = _decode_any(params, cfg, geom, code_list)
+    recs = _decode_any(params, cfg, geom, code_list, pixel_fmt="u8")
     for b, (fc, fo) in enumerate(zip(code_list, out_list)):
         _write_image(fo, recs[b:b + 1])
         print(f"Decoding {fc}, output to {fo}")

@@ -1444,13 +1444,20 @@ def scan_encode_images(params, images, cfg: CMPNetConfig, geom: Geometry,
 
 
 def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
-                       image_hw=(512, 1024)):
+                       image_hw=(512, 1024), pixel_fmt: str = "f32"):
     """Decode scan-mode container files -> (len(fnames), 3, H, W).
 
     The whole chain (scan decode -> latent dequant -> synthesis transform)
     stays on device per chunk, and all chunks are dispatched before any
     device->host pull, so host-side stream prep and image download overlap
     device compute.
+
+    pixel_fmt "f32" returns float32 reconstructions (metric-exact vs the
+    reference's float tensors); "u8" converts to 8-bit ON DEVICE with the
+    PNG-write semantics (clip to [0,1], *255, truncate) and transfers 4x
+    fewer bytes -- the right choice when the destination is an image file
+    (the axon tunnel moves ~20 MB/s device->host, so a 512x1024 float
+    pull costs ~0.3 s/image vs ~0.08 at uint8).
     """
     from pseudocylindrical_convolution_tpu.codec import container
     from pseudocylindrical_convolution_tpu.codec.pipeline import (
@@ -1492,5 +1499,8 @@ def scan_decode_images(params, cfg: CMPNetConfig, geom: Geometry, fnames,
         hcode = plane.astype(jnp.float32).reshape(
             codec.B * geom.npart, cfg.ngroup, h, w)
         rec = _decode_image_from_latents(params, hcode, cfg, geom)
+        if pixel_fmt == "u8":
+            rec = jnp.clip(rec * jnp.float32(255.0), 0.0, 255.0).astype(
+                jnp.uint8)
         pending.append((rec, len(chunk)))
     return np.concatenate([np.asarray(rec)[:n] for rec, n in pending])

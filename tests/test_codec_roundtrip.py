@@ -57,6 +57,24 @@ def test_encode_decode_bit_exact(tmp_path):
     assert np.isfinite(np.asarray(rec)).all()
 
 
+def test_scan_decode_u8_matches_f32(tmp_path):
+    """pixel_fmt='u8' must equal the PNG conversion of the f32 output
+    exactly (clip to [0,1], *255, truncate) -- the on-device conversion
+    only moves WHERE the cast happens, never what the written image is."""
+    from pseudocylindrical_convolution_tpu.codec.wavefront_scan import (
+        scan_decode_images, scan_encode_images)
+    params = cmpnet_init(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 64, 128))
+    fn = str(tmp_path / "s.bin")
+    scan_encode_images(params, [x], CFG, GEOM, [fn])
+    rec_f = scan_decode_images(params, CFG, GEOM, [fn], (64, 128))
+    rec_u = scan_decode_images(params, CFG, GEOM, [fn], (64, 128),
+                               pixel_fmt="u8")
+    assert rec_u.dtype == np.uint8
+    want = np.clip(rec_f * 255.0, 0.0, 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(rec_u, want)
+
+
 def test_batched_decode_bit_exact(tmp_path):
     """Multiple bitstreams decoded in lockstep must each be bit-exact
     (each stream runs the same compiled B=1 table program as its encoder)."""

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--channels", type=int, default=192)
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per dispatch (B); ms/step is per step, so "
+                    "per-image cost is ms/step * nsteps / B")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--configs", nargs="+", default=["gather:4:256"])
     args = ap.parse_args()
@@ -54,14 +57,15 @@ def main():
             parts = spec.split(":")
             wm, nch, L = parts[0], int(parts[1]), int(parts[2])
             pad = parts[3] if len(parts) > 3 else "gather"
-            codec = ScanWavefrontCodec(cfg, geom, h, w, batch=1, lanes=L,
+            B = args.batch
+            codec = ScanWavefrontCodec(cfg, geom, h, w, batch=B, lanes=L,
                                        conv_chunks=nch, window_mode=wm,
                                        pad_mode=pad)
             codec.prepare(params["ent"])
-            teacher = jnp.zeros((1, codec.P), jnp.int32)
-            zwords = jnp.zeros((codec.NW,), jnp.uint32)
-            zoff = jnp.zeros((1, L), jnp.int32)
-            znb = jnp.zeros((1, L), jnp.uint32)
+            teacher = jnp.zeros((B, codec.P), jnp.int32)
+            zwords = jnp.zeros((B * codec.NW,), jnp.uint32)
+            zoff = jnp.zeros((B, L), jnp.int32)
+            znb = jnp.zeros((B, L), jnp.uint32)
             for dec in (False, True):
                 out = codec._run(zwords, zoff, znb, teacher, decode=dec)
                 jax.block_until_ready(out)
@@ -72,8 +76,10 @@ def main():
                     jax.block_until_ready(out)
                     ts.append(time.perf_counter() - t0)
                 dt = min(ts)
-                print(f"{spec} decode={int(dec)}: {dt:7.2f}s  "
-                      f"{dt / codec.nsteps * 1e3:6.2f} ms/step", flush=True)
+                print(f"{spec} B={B} decode={int(dec)}: {dt:7.2f}s  "
+                      f"{dt / codec.nsteps * 1e3:6.2f} ms/step  "
+                      f"({dt / codec.nsteps / B * 1e3:6.2f} ms/step/img)",
+                      flush=True)
         except Exception as e:  # noqa: BLE001
             import traceback
             traceback.print_exc()

@@ -28,6 +28,24 @@ if [ ! -f /tmp/.r4_highres_ab_done ]; then
     tail -15 /tmp/r4_highres_ab.log
 fi
 
+# ---- [P] lane-count and batch re-tune at 512x1024 ------------------------------
+# The closed-form AC renormalization (device_ac.py round-4 item 10)
+# changed the AC cost model: rounds are much cheaper, so wider lanes
+# (fewer sequential rounds/step) and B=2 batching (fatter conv matmuls)
+# may now win where they measured flat-to-worse before. Flip auto_lanes /
+# the bench batch only on a clear win.
+if [ ! -f /tmp/.r4_lanes_ab_done ]; then
+    echo "=== [P] lanes/batch re-tune ($(date -u)) ==="
+    timeout 7200 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+        --configs gather:4:256 gather:4:512 gather:4:1024 \
+        >> /tmp/r4_lanes_ab.log 2>&1 \
+    && timeout 3600 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+        --batch 2 --configs gather:4:256 \
+        >> /tmp/r4_lanes_ab.log 2>&1 \
+    && touch /tmp/.r4_lanes_ab_done
+    tail -12 /tmp/r4_lanes_ab.log
+fi
+
 # ---- [L] remaining ladder ------------------------------------------------------
 echo "=== [L] round4_train.sh ($(date -u)) ==="
 bash tools/round4_train.sh >>/tmp/r4_train.log 2>&1 \
