@@ -98,6 +98,76 @@ def test_device_decode_matches_cpp_lanes():
     np.testing.assert_array_equal(out, syms)
 
 
+def _renorm_scalar(low, high, code, bits, pos, nbits):
+    """The original bit-at-a-time renorm loops (csrc/coder.cpp:128-137),
+    as plain python ints -- the oracle for the closed-form _renorm."""
+    def read():
+        nonlocal pos
+        b = bits[pos] if pos < nbits else 0
+        pos += 1
+        return b
+    while ((low ^ high) & 0x80000000) == 0:
+        code = ((code << 1) & 0xFFFFFFFF) | read()
+        low = (low << 1) & 0xFFFFFFFF
+        high = ((high << 1) & 0xFFFFFFFF) | 1
+    while low & ~high & 0x40000000:
+        code = (code & 0x80000000) | ((code << 1) & 0x7FFFFFFF) | read()
+        low = (low << 1) & 0x7FFFFFFF
+        high = ((high << 1) & 0x7FFFFFFF) | 0x80000001
+    return low, high, code, pos
+
+
+def test_renorm_closed_form_edge_states():
+    """Closed-form _renorm == the bit-serial loops on crafted states that
+    random streams never hit: low==high (32 shifts), saturated underflow
+    (low=0x7FFF..., high=0x8000... -> 31 underflow steps), reads running
+    past the stream end, and a random state sweep."""
+    from pseudocylindrical_convolution_tpu.codec.device_ac import _renorm
+    rng = np.random.default_rng(7)
+    word = np.uint32(0xA5C3F019)
+    words = jnp.asarray(np.array([word, 0x5A3CF901, 0xDEADBEEF], np.uint32))
+    bits = [(int(w) >> (31 - i)) & 1 for w in np.asarray(words)
+            for i in range(32)]
+
+    cases = [
+        (0x12345678, 0x12345678, 0x12345678),   # low==high: n1=32
+        (0x7FFFFFFF, 0x80000000, 0x7FFFFFFF),   # saturated underflow: n2=31
+        (0x7FFF0000, 0x80000FFF, 0x7FFFABCD),   # long underflow run
+        (0x00000000, 0xFFFFFFFF, 0x000000FF),   # no renorm at all
+        (0x40000000, 0x401FFFFF, 0x40100000),   # plain n1 run
+    ]
+    for _ in range(40):
+        lo = int(rng.integers(0, 1 << 32, dtype=np.uint64))
+        hi = int(rng.integers(lo, 1 << 32, dtype=np.uint64))
+        cases.append((lo, hi, int(rng.integers(lo, hi + 1,
+                                               dtype=np.uint64))))
+
+    for nbits_v in (96, 40, 3, 0):   # includes past-end reads
+        for pos0 in (0, 17, 39):
+            for lo, hi, cd in cases:
+                want = _renorm_scalar(lo, hi, cd, bits, pos0, nbits_v)
+                st = {
+                    "low": jnp.asarray([lo], jnp.uint32),
+                    "range_m1": jnp.asarray([hi - lo], jnp.uint32),
+                    "code": jnp.asarray([cd], jnp.uint32),
+                    "pos": jnp.asarray([pos0], jnp.uint32),
+                    "word_off": jnp.asarray([0], jnp.int32),
+                    "nbits": jnp.asarray([nbits_v], jnp.uint32),
+                    "words_ref": words,
+                }
+                out = _renorm(st, jnp.asarray([True]))
+                got = (int(out["low"][0]),
+                       int(out["low"][0]) + int(out["range_m1"][0]),
+                       int(out["code"][0]), int(out["pos"][0]))
+                assert got == want, (hex(lo), hex(hi), hex(cd), nbits_v,
+                                     pos0, got, want)
+                # inactive lanes are untouched
+                out2 = _renorm(dict(st), jnp.asarray([False]))
+                assert int(out2["low"][0]) == lo
+                assert int(out2["code"][0]) == cd
+                assert int(out2["pos"][0]) == pos0
+
+
 def test_empty_and_tiny_lanes():
     rng = np.random.default_rng(2)
     L, n = 4, 3  # lane 3 gets nothing
