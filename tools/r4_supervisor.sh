@@ -44,9 +44,9 @@ while true; do
     [ "$ATT" -gt 12 ] && { echo "=== 12 relaunches exhausted ==="; break; }
     echo "=== rebuild incomplete; probing tunnel for relaunch #$ATT ($(date -u)) ==="
     probe || exit 0
-    setsid nohup bash tools/r3_rebuild.sh >>/tmp/r3_rebuild.log 2>&1 < /dev/null &
+    setsid nohup bash tools/r4_rebuild.sh >>/tmp/r3_rebuild.log 2>&1 < /dev/null &
     sleep 5
-    PID=$(ps -eo pid,cmd | grep "bash tools/r3_rebuild.sh" | grep -v grep \
+    PID=$(ps -eo pid,cmd | grep "bash tools/r4_rebuild.sh" | grep -v grep \
           | awk '{print $1}' | head -1)
     [ -z "$PID" ] && { echo "=== relaunch failed to start ==="; break; }
     echo "=== relaunched rebuild chain as pid $PID ==="
