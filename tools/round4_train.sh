@@ -49,6 +49,7 @@ point () {
         echo "=== $OUT already installed; skipping ==="
         return 0
     fi
+    [ -f $FB ] || { echo "=== $OUT: init ckpt $FB missing; skip ==="; return 0; }
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
             # warm Adam moments: the resumed E/D epoch is gentle
@@ -61,7 +62,7 @@ point () {
     # GATE is family-scaled: MSE tloss is in [0,1]-MSE units (good points
     # sit in [-3e-4, +9e-5]); SSIM tloss is in SSIM units (installed
     # synthetic-set points sit at +0.02..0.04 below the anchor).
-    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | sort -g | head -1)
+    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | grep -iv nan | sort -g | head -1)
     if ! python -c "import sys; sys.exit(0 if float('$TL') < ${GATE:-3e-4} else 1)"; then
         echo "=== $OUT: tloss $TL above gate ${GATE:-3e-4}; NOT installed ==="
         return 0

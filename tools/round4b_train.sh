@@ -40,6 +40,7 @@ point () {
         echo "=== $OUT already installed; skipping ==="
         return 0
     fi
+    [ -f $FB ] || { echo "=== $OUT: init ckpt $FB missing; skip ==="; return 0; }
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
             train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
@@ -48,7 +49,7 @@ point () {
         fi
         touch $D/.done
     fi
-    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | sort -g | head -1)
+    local TL=$(grep "^tloss" $D/${P}_log.txt | awk '{print $2}' | grep -iv nan | sort -g | head -1)
     if ! python -c "import sys; sys.exit(0 if float('$TL') < $GATE else 1)"; then
         echo "=== $OUT: tloss $TL above gate $GATE; NOT installed ==="
         return 0
