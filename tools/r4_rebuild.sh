@@ -104,7 +104,7 @@ if [ ! -f demo/mse/10_192.tloss ]; then
     echo "=== [G] gate seed: eval installed flagship ($(date -u)) ==="
     TL=$(python tools/eval_tloss.py --ckpt $BASE192 --valid-dim 192 \
              --img-dir $DATA --test-list $DATA/test.txt \
-         | tee /dev/stderr | grep "^TLOSS" | awk '{print $2}')
+         | tee -a /dev/stderr | grep "^TLOSS" | awk '{print $2}')
     if [ -n "$TL" ]; then
         echo "$TL" > demo/mse/10_192.tloss
         git add -f demo/mse/10_192.tloss \
