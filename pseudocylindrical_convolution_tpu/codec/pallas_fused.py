@@ -84,7 +84,11 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
             src = srcbuf[slot]                          # (w, CC)
             colz = colz_ref[pl.ds(b, 1), k, tap, :][0]  # (T,)
             wz = wz_ref[pl.ds(b, 1), k, tap, :][0]      # (T,)
-            m = (colz[:, None] == iota_w).astype(src.dtype) * wz[:, None]
+            # f32 mask build: Mosaic rejects bf16 minor-dim insertion
+            # (wz[:, None]); bf16 -> f32 -> bf16 is exact so the downcast
+            # mask is bit-identical (see pallas_window._window_kernel)
+            m = ((colz[:, None] == iota_w).astype(jnp.float32)
+                 * wz.astype(jnp.float32)[:, None]).astype(src.dtype)
             tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
                              ).astype(src.dtype)        # (T, CC)
             if tap == 0:

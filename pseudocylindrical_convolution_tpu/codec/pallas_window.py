@@ -69,7 +69,12 @@ def _window_kernel(h, T, w, CC, npart,
         src = srcbuf[slot]                              # (w, CC)
         colz = colz_ref[0, k, tap, :]                   # (T,)
         wz = wz_ref[0, k, tap, :]                       # (T,)
-        m = (colz[:, None] == iota_w).astype(src.dtype) * wz[:, None]
+        # build the selection mask in f32: Mosaic only supports non-no-op
+        # minor-dim insertion (wz[:, None]) for 32-bit types, and the
+        # round trip bf16 -> f32 -> bf16 is exact, so the downcast mask is
+        # bit-identical to one built in bf16 directly
+        m = ((colz[:, None] == iota_w).astype(jnp.float32)
+             * wz.astype(jnp.float32)[:, None]).astype(src.dtype)
         tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
                          ).astype(src.dtype)            # (T, CC)
         if tap == 0:
