@@ -1,0 +1,33 @@
+#!/bin/bash
+# End-of-session wind-down: stop the rebuild chain at its next edge, then
+# use the freed tunnel to (1) re-run the 512x1024 window-mode A/B with the
+# Mosaic-fixed pallas/fused kernels (the chain's [2b] pass failed all
+# three pallas configs on the bf16 minor-dim insertion, since fixed), and
+# (2) capture the final in-session bench with the trained flagship. Run
+# this ~1h before the driver snapshot so the driver's own bench.py finds
+# a free tunnel and a warm compile cache.
+#
+#   bash tools/r4_winddown.sh >>/tmp/r4_winddown.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+touch /tmp/r3_stop
+echo "=== r3_stop set; waiting for the chain to drain ($(date -u)) ==="
+while ps -eo cmd | grep -v grep \
+        | grep -qE "r4_(rebuild|supervisor)\.sh|pseudocylindrical_convolution_tpu\.train\.loop"; do
+    sleep 60
+done
+echo "=== chain drained ($(date -u)) ==="
+sleep 10
+
+if [ ! -f /tmp/.r4_ab2_done ]; then
+    echo "=== [A] window-mode A/B, fixed kernels ($(date -u)) ==="
+    timeout 3000 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+        --configs gather:4:256 pallas:4:256 fused:4:256 fusedu:4:256 \
+        >> /tmp/pallas_ab2.log 2>&1 && touch /tmp/.r4_ab2_done
+    grep -E "ms/step|FAILED" /tmp/pallas_ab2.log | tail -10
+fi
+
+echo "=== [B] final bench ($(date -u)) ==="
+BENCH_HIGHRES_BUDGET=1500 timeout 4500 python bench.py 2>&1 | tail -3
+echo "=== WINDDOWN DONE ($(date -u)) ==="
