@@ -28,6 +28,17 @@ if [ ! -f /tmp/.r4_ab2_done ]; then
     grep -E "ms/step|FAILED" /tmp/pallas_ab2.log | tail -10
 fi
 
+if [ ! -f /tmp/.r4_hr_ab_done ]; then
+    # config-4 deeper-chunk / fused probe (VERDICT r3 weak #3: high-res
+    # combined sat below baseline at gather:4). Budgeted: partial rows
+    # still print on timeout, and the final bench below must still run.
+    echo "=== [H] high-res A/B ($(date -u)) ==="
+    timeout 1500 python tools/prof_scan_manual.py --hw 2048 4096 --iters 2 \
+        --configs gather:8:256 fused:4:256 \
+        >> /tmp/pallas_ab2.log 2>&1 && touch /tmp/.r4_hr_ab_done
+    grep -E "ms/step|FAILED" /tmp/pallas_ab2.log | tail -4
+fi
+
 echo "=== [B] final bench ($(date -u)) ==="
 BENCH_HIGHRES_BUDGET=1500 timeout 4500 python bench.py 2>&1 | tail -3
 echo "=== WINDDOWN DONE ($(date -u)) ==="
