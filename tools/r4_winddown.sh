@@ -24,8 +24,12 @@ if [ ! -f /tmp/.r4_ab2_done ]; then
     echo "=== [A] window-mode A/B, fixed kernels ($(date -u)) ==="
     timeout 3000 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
         --configs gather:4:256 pallas:4:256 fused:4:256 fusedu:4:256 \
+                  gather:4:512 \
         >> /tmp/pallas_ab2.log 2>&1 && touch /tmp/.r4_ab2_done
-    grep -E "ms/step|FAILED" /tmp/pallas_ab2.log | tail -10
+    # closed-form renorm changed the AC cost model: re-test B=2 batching
+    timeout 900 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+        --batch 2 --configs gather:4:256 >> /tmp/pallas_ab2.log 2>&1
+    grep -E "ms/step|FAILED" /tmp/pallas_ab2.log | tail -12
 fi
 
 if [ ! -f /tmp/.r4_hr_ab_done ]; then
