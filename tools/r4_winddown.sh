@@ -43,6 +43,16 @@ if [ ! -f /tmp/.r4_hr_ab_done ]; then
     grep -E "ms/step|FAILED" /tmp/pallas_ab2.log | tail -4
 fi
 
+# Decision window: if the A/B shows a clear pallas/fused win the operator
+# flips DEFAULT_WINDOW_MODE NOW (before the final bench, so the driver's
+# end-of-round bench loads the flipped program warm from the cache).
+# touch /tmp/r4_flip_ack to proceed immediately; otherwise continue after
+# 10 minutes so the final bench always lands.
+for i in $(seq 60); do
+    [ -f /tmp/r4_flip_ack ] && break
+    sleep 10
+done
+
 echo "=== [B] final bench ($(date -u)) ==="
 BENCH_HIGHRES_BUDGET=1500 timeout 4500 python bench.py 2>&1 | tail -3
 echo "=== WINDDOWN DONE ($(date -u)) ==="
