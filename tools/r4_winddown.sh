@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 touch /tmp/r3_stop
 echo "=== r3_stop set; waiting for the chain to drain ($(date -u)) ==="
 while ps -eo cmd | grep -v grep \
-        | grep -qE "r4_(rebuild|supervisor)\.sh|pseudocylindrical_convolution_tpu\.train\.loop"; do
+        | grep -qE "r4_(rebuild|supervisor|followup)\.sh|round4b?_train\.sh|prof_scan_manual|pseudocylindrical_convolution_tpu\.train\.loop"; do
     sleep 60
 done
 echo "=== chain drained ($(date -u)) ==="

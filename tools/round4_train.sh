@@ -30,7 +30,10 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
         --difficulty-dict $DATA/train_val.dic --batch-size 2 --acc-batch 2 \
         --test-batch-size 2"
 
-train () { python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"; }
+train () {
+    [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; marathon stopping ==="; exit 0; }
+    python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"
+}
 
 # point <run-dir> <prefix> <fallback-init> <install-path> <args...>
 #
