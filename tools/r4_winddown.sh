@@ -55,4 +55,19 @@ done
 
 echo "=== [B] final bench ($(date -u)) ==="
 BENCH_HIGHRES_BUDGET=1500 timeout 4500 python bench.py 2>&1 | tail -3
+
+# ---- [R] RD tables over whatever the registry now holds ---------------
+# (the rebuild chain's own [7] stage may not have been reached; these
+# feed RD_EVIDENCE.md's round-4 section)
+if [ ! -f /tmp/.r4_rd_done ]; then
+    echo "=== [R] rd_curve ($(date -u)) ==="
+    ls /tmp/synth360/test_*.npy | head -6 > /tmp/r4_eval_list.txt
+    timeout 1800 python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt \
+        > /tmp/r4_rd_mse.log 2>&1 || true
+    tail -20 /tmp/r4_rd_mse.log
+    timeout 900 python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt \
+        --ssim > /tmp/r4_rd_ssim.log 2>&1 || true
+    tail -12 /tmp/r4_rd_ssim.log
+    touch /tmp/.r4_rd_done
+fi
 echo "=== WINDDOWN DONE ($(date -u)) ==="
