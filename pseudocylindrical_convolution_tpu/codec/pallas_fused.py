@@ -57,7 +57,7 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
     c = G // nchunks
 
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, w), 1)
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    iota_tc = jax.lax.broadcasted_iota(jnp.int32, (T, CC), 0)
 
     def band_body(b, carry):
         # ---- interior rows: h contiguous (T, CC) DMAs straight into win --
@@ -98,20 +98,23 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                 win[wrow] = acc_pad + tapval
 
         # ---- interior rows: mask + patch in place as each DMA lands ----
+        # full-shape i32-iota masks + f32 selects, single downcast per row:
+        # same Mosaic i1-relayout avoidance and bit-exactness argument as
+        # pallas_window._window_kernel
         for r in range(h):
             pltpu.make_async_copy(
                 buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
                 win.at[2 + r], isem.at[r]).wait()
-            jj = iota_t + j0_ref[b, r]                  # (T, 1)
-            val = jnp.where((jj >= 0) & (jj < w), win[2 + r],
-                            jnp.zeros((), win.dtype))
+            jj = iota_tc + j0_ref[b, r]                 # (T, CC)
+            val = jnp.where((jj >= 0) & (jj < w),
+                            win[2 + r].astype(jnp.float32), 0.0)
             for kk in range(6):
                 pk = tpos_ref[b, r, kk]
                 val = val + jnp.where(
-                    iota_t == pk,
-                    v6_ref[0, pl.ds(b, 1), r, kk][0][None, :],
-                    jnp.zeros((), val.dtype))
-            win[2 + r] = val
+                    iota_tc == pk,
+                    v6_ref[0, pl.ds(b, 1), r, kk][0][None, :]
+                        .astype(jnp.float32), 0.0)
+            win[2 + r] = val.astype(win.dtype)
 
         # ---- sheared conv: 45 MXU taps per (subnet, group-chunk) --------
         for kch in range(nchunks):

@@ -84,19 +84,27 @@ def _window_kernel(h, T, w, CC, npart,
             win_ref[0, 0, wrow] = acc + tapval
 
     # ---- interior rows: mask + patch as each DMA lands ----
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    # Masks are born at full (T, CC) shape from i32 iotas and the selects
+    # run on f32 data: an i1 mask built at (T, 1) and broadcast into a
+    # 16-bit select needs the replicated->(16,128) relayout Mosaic rejects
+    # (the round-4 A/B failure; same family as the pad-mask comment above).
+    # Each position takes at most ONE add of an exactly-upcast value on a
+    # zero/masked base, so the single downcast per row is bit-identical to
+    # the gather path's bf16 adds (equivalence-tested).
+    iota_tc = jax.lax.broadcasted_iota(jnp.int32, (T, CC), 0)
     for r in range(h):
         pltpu.make_async_copy(
             buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
             rowbuf.at[r], isem.at[r]).wait()
-        jj = iota_t + j0_ref[b, r]                      # (T, 1)
-        val = jnp.where((jj >= 0) & (jj < w), rowbuf[r],
-                        jnp.zeros((), rowbuf.dtype))
+        jj = iota_tc + j0_ref[b, r]                     # (T, CC)
+        val = jnp.where((jj >= 0) & (jj < w),
+                        rowbuf[r].astype(jnp.float32), 0.0)
         for k in range(6):
             pk = tpos_ref[b, r, k]
-            val = val + jnp.where(iota_t == pk, v6_ref[0, 0, r, k][None, :],
-                                  jnp.zeros((), val.dtype))
-        win_ref[0, 0, 2 + r] = val
+            val = val + jnp.where(
+                iota_tc == pk,
+                v6_ref[0, 0, r, k][None, :].astype(jnp.float32), 0.0)
+        win_ref[0, 0, 2 + r] = val.astype(rowbuf.dtype)
 
 
 def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
