@@ -15,14 +15,19 @@ Flagship config (valid_dim=192, 512x1024 ERP). Two codec modes are timed:
 Headline value = N * megapixels / (t_scan_encode + t_scan_decode) -- the
 BASELINE.md metric is encode+decode MP/s per chip.
 
-vs_baseline derivation (the reference publishes no numbers, BASELINE.md):
-the reference runs 238 sequential wavefront steps per image in BOTH
-directions, each step doing ~13 kernel launches plus a device->host sync
-feeding the CPU arithmetic coder (pseudo_codec.py:97-114,145-160). At an
-optimistic 4 ms/step on its shipped GPUs (launch overhead + sync dominated)
-that is ~1 s per direction, i.e. 0.52 MP / 2 s = 0.26 MP/s combined. We use
-REF_CODEC_MPS = 0.26 as the denominator (deliberately generous to the
-reference; its real number is likely lower).
+vs_baseline derivation (the reference publishes no numbers; full component
+accounting in BASELINE.md "Reference throughput derivation"): the
+reference's entropy network costs a MEASURED 289.8 GFLOP per direction
+(XLA cost analysis of the identical dense math) across 238 sequential
+steps feeding a CPU arithmetic coder whose floor we MEASURED at
+37.4/49.6 ms per direction (our buffer-backed coder, a strict lower bound
+on the reference's fstream one). At a realistic 3% fp32 MFU for the
+reference's one-block-per-element kernel on ragged diagonal slabs
+(sm_75 peak 13.45 TFLOP/s) plus dispatch + AC, a direction costs
+~0.8 s (~4 ms/step) -> REF_CODEC_MPS = 0.26 combined. The HARD bound
+(100% MFU + launch/sync floors + measured AC; unreachable) is
+REF_UPPER_MPS = 4.7 combined / 14 encode; vs_ref_upper_bound reports the
+guaranteed multiple against it.
 
 Prints ONE JSON line.
 """
@@ -38,7 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REF_CODEC_MPS = 0.26   # derived estimate, see module docstring
+REF_CODEC_MPS = 0.26       # realistic estimate (3% MFU), see BASELINE.md
+REF_UPPER_MPS = 4.7        # hard bound: 100% MFU + launch/AC floors
+REF_ENC_UPPER_MPS = 14.0   # encode-direction hard bound
 
 
 def _preflight(timeout_s: int = 360):
@@ -228,7 +235,12 @@ def main():
         # 238-step wavefront loop as decode (~0.52 MP/s at the generous
         # 4 ms/step estimate), so the target is 2.6 MP/s
         "northstar_encode_5x_met": bool(dense_mps >= 5 * (2 * REF_CODEC_MPS)),
+        "northstar_scan_encode_5x_met": bool(enc_mps >= 5 * (2 * REF_CODEC_MPS)),
         "encode_vs_ref": round(dense_mps / (REF_CODEC_MPS * 2), 2),
+        # guaranteed multiples against the reference's unreachable hard
+        # bound (100% MFU + launch/sync floors + measured AC; BASELINE.md)
+        "vs_ref_upper_bound": round(combined / REF_UPPER_MPS, 3),
+        "encode_vs_ref_upper_bound": round(dense_mps / REF_ENC_UPPER_MPS, 3),
         "bpp": round(total_bytes * 8 / (H * W) / iters, 4),
         "weights": weights_src,
         **extra,

@@ -6,11 +6,15 @@ state machine; any divergence shows up as a symbol mismatch here.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pseudocylindrical_convolution_tpu.codec.coder_bridge import (
     Coder, encode_lanes)
 from pseudocylindrical_convolution_tpu.codec import device_ac
+
+# whole file is the device-AC oracle: seconds per test, part of the quick tier
+pytestmark = pytest.mark.quick
 
 TOTAL = 65536
 

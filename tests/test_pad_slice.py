@@ -7,6 +7,9 @@ from pseudocylindrical_convolution_tpu.geometry import Geometry
 from pseudocylindrical_convolution_tpu.ops.pad import pseudo_pad
 from pseudocylindrical_convolution_tpu.ops.fill import pseudo_fill
 from pseudocylindrical_convolution_tpu.ops.slice import sphere_slice, sphere_uslice
+
+# pad/slice reference-sim oracles: seconds per test, part of the quick tier
+pytestmark = pytest.mark.quick
 from pseudocylindrical_convolution_tpu.ops.dtow import dtow
 
 from reference_sim import (pseudo_pad_ref, sphere_slice_ref, sphere_uslice_ref)

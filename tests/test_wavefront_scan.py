@@ -65,11 +65,13 @@ def _roundtrip(cfg, codec, mask, seed=0):
     assert ((dec_r[1] == planes[0]) | ~mask).all()
 
 
+@pytest.mark.quick
 def test_roundtrip_and_slot_decode(setup):
     cfg, geom, params, codec, mask = setup
     _roundtrip(cfg, codec, mask)
 
 
+@pytest.mark.quick
 def test_roundtrip_bf16_profile(setup_bf16):
     """The bf16 activation profile (the default, container.FLAG_BF16) must
     round-trip bit-exactly too -- bit-exactness is per-executable."""
@@ -209,6 +211,7 @@ def test_roundtrip_conv_chunks(setup):
     assert (p0 != p1).sum() <= 0.01 * p0.size
 
 
+@pytest.mark.quick
 def test_roundtrip_window_slab(setup):
     """window_mode='slab' (padded rows + per-band dynamic-slice windows,
     deposit-materialized circular wrap) must round-trip bit-exactly and
@@ -258,6 +261,7 @@ def test_roundtrip_window_slab_wide():
     assert ((dec == planes) | ~mask[None]).all()
 
 
+@pytest.mark.quick
 def test_roundtrip_window_burst(setup):
     """window_mode='burst' (one contiguous run-gather per (band, row) +
     <=6 table-patched columns) must produce BIT-IDENTICAL coder ranges to
@@ -497,6 +501,7 @@ def test_pallas_window_matches_burst(setup):
                                           err_msg=f"CC={CC} step {z}")
 
 
+@pytest.mark.quick
 def test_roundtrip_pallas_window(setup):
     """Pallas-window profile: bit-identical coder ranges to the gather
     program, clean roundtrip, FLAG2_PALLASWIN recorded and enforced."""
@@ -611,6 +616,7 @@ def test_fused_conv_matches_gather_cells(setup):
                     err_msg=f"chunks={chunks} layer={li} step={z}")
 
 
+@pytest.mark.quick
 def test_roundtrip_fused(setup):
     """Full fused-mode roundtrip: bit-exact symbols, container records the
     FLAG2_FUSEDSTEP profile, plain decoders reject fused streams."""
