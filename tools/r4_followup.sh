@@ -68,6 +68,21 @@ if [ ! -f /tmp/.r4_topup_done ]; then
 fi
 [ -f /tmp/r3_stop ] && exit 0
 
+# ---- [F] fixed-kernel pallas/fused A/B at 512x1024 (round 5) -----------------
+# Round-4's [2b] A/B failed Mosaic compilation in ALL THREE Pallas modes
+# (i1-mask relayout, /tmp/pallas_ab.log); the kernels were fixed in round
+# 5 (full-shape i32-iota masks + f32 selects). Re-measure before the long
+# ladder so a DEFAULT_WINDOW_MODE flip can land ahead of the final bench.
+# fused:1 included: the fused kernel keeps K resident per layer-step, so
+# shallow chunking (fat N) may now win where gather preferred chunks=4.
+if [ ! -f /tmp/.r5_pallas_ab_done ]; then
+    echo "=== [F] fixed-kernel pallas/fused A/B ($(date -u)) ==="
+    timeout 9000 python tools/prof_scan_manual.py --hw 512 1024 --iters 3 \
+        --configs gather:4:256 pallas:4:256 fused:4:256 fused:1:256 fusedu:4:256 \
+        >> /tmp/r5_pallas_ab.log 2>&1 && touch /tmp/.r5_pallas_ab_done
+    tail -30 /tmp/r5_pallas_ab.log
+fi
+
 # ---- [L] remaining ladder ------------------------------------------------------
 [ -f /tmp/r3_stop ] && { echo "=== r3_stop: followup stopping ==="; exit 0; }
 echo "=== [L] round4_train.sh ($(date -u)) ==="
