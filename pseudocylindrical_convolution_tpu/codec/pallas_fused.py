@@ -98,22 +98,21 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                 win[wrow] = acc_pad + tapval
 
         # ---- interior rows: mask + patch in place as each DMA lands ----
-        # full-shape i32-iota masks + f32 selects, single downcast per row:
-        # same Mosaic i1-relayout avoidance and bit-exactness argument as
-        # pallas_window._window_kernel
+        # f32 multiply-masks converted at the compare's own layout, single
+        # downcast per row: no i1 vector ever needs a relayout (same Mosaic
+        # avoidance and bit-exactness argument as pallas_window's kernel)
         for r in range(h):
             pltpu.make_async_copy(
                 buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
                 win.at[2 + r], isem.at[r]).wait()
             jj = iota_tc + j0_ref[b, r]                 # (T, CC)
-            val = jnp.where((jj >= 0) & (jj < w),
-                            win[2 + r].astype(jnp.float32), 0.0)
+            vmask = ((jj >= 0) & (jj < w)).astype(jnp.float32)
+            val = vmask * win[2 + r].astype(jnp.float32)
             for kk in range(6):
                 pk = tpos_ref[b, r, kk]
-                val = val + jnp.where(
-                    iota_tc == pk,
-                    v6_ref[0, pl.ds(b, 1), r, kk][0][None, :]
-                        .astype(jnp.float32), 0.0)
+                val = val + ((iota_tc == pk).astype(jnp.float32)
+                             * v6_ref[0, pl.ds(b, 1), r, kk][0][None, :]
+                                 .astype(jnp.float32))
             win[2 + r] = val.astype(win.dtype)
 
         # ---- sheared conv: 45 MXU taps per (subnet, group-chunk) --------

@@ -84,26 +84,30 @@ def _window_kernel(h, T, w, CC, npart,
             win_ref[0, 0, wrow] = acc + tapval
 
     # ---- interior rows: mask + patch as each DMA lands ----
-    # Masks are born at full (T, CC) shape from i32 iotas and the selects
-    # run on f32 data: an i1 mask built at (T, 1) and broadcast into a
-    # 16-bit select needs the replicated->(16,128) relayout Mosaic rejects
-    # (the round-4 A/B failure; same family as the pad-mask comment above).
+    # NO i1 vectors survive past their producing compare: every mask is
+    # converted to f32 at the compare's own layout and applied by
+    # multiply-add. An i1 select whose mask replication differs from the
+    # data operand's (the iota_tc compares are lane-replicated, v6[None, :]
+    # is sublane-replicated) needs an i1 relayout Mosaic rejects (both the
+    # round-4 A/B failure "16,{0,*}->(16,128)" and its 32-bit sibling);
+    # f32 relayouts are fully supported, so all mixing happens in f32.
     # Each position takes at most ONE add of an exactly-upcast value on a
-    # zero/masked base, so the single downcast per row is bit-identical to
-    # the gather path's bf16 adds (equivalence-tested).
+    # zero/masked base, and mask*x == where(mask, x, 0) for finite x (the
+    # -0.0 sign difference cannot survive the downstream adds), so the
+    # single downcast per row is bit-identical to the gather path's bf16
+    # adds (equivalence-tested).
     iota_tc = jax.lax.broadcasted_iota(jnp.int32, (T, CC), 0)
     for r in range(h):
         pltpu.make_async_copy(
             buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
             rowbuf.at[r], isem.at[r]).wait()
         jj = iota_tc + j0_ref[b, r]                     # (T, CC)
-        val = jnp.where((jj >= 0) & (jj < w),
-                        rowbuf[r].astype(jnp.float32), 0.0)
+        vmask = ((jj >= 0) & (jj < w)).astype(jnp.float32)
+        val = vmask * rowbuf[r].astype(jnp.float32)
         for k in range(6):
             pk = tpos_ref[b, r, k]
-            val = val + jnp.where(
-                iota_tc == pk,
-                v6_ref[0, 0, r, k][None, :].astype(jnp.float32), 0.0)
+            val = val + ((iota_tc == pk).astype(jnp.float32)
+                         * v6_ref[0, 0, r, k][None, :].astype(jnp.float32))
         win_ref[0, 0, 2 + r] = val.astype(rowbuf.dtype)
 
 
