@@ -73,11 +73,12 @@ point demo/train_run_ssim6_112 ent_opt_192_112_16 demo/mse/6_112.pkl  demo/ssim/
     --valid-dim 112 --alpha 0.5 --beta 10 --gamma 0 --lr 1e-5
 point demo/train_run_ssim7_112 ent_opt_192_112_16 demo/mse/7_112.pkl  demo/ssim/7_112.pkl \
     --valid-dim 112 --alpha 0.25 --beta 10 --gamma 0 --lr 1e-5
+# ssim/5_112 was lost to the session-4 machine reset and is in NEITHER
+# ladder script (round-5 session-3 audit): the 112-group SSIM anchor,
+# beta=10 alpha=1 from the (topped-up) mse/5_112 core.
+point demo/train_run_ssim5_112 ent_opt_192_112_16 demo/mse/5_112.pkl  demo/ssim/5_112.pkl \
+    --valid-dim 112 --alpha 1 --beta 10 --gamma 0 --lr 1e-5
 
-# RD tables over the now-complete registry
-ls $DATA/test_*.npy | head -6 > /tmp/r4_eval_list.txt
-echo "=== rd_curve (full mse registry) ==="
-python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt --decode
-echo "=== rd_curve (full ssim registry) ==="
-python tools/rd_curve.py --img-file /tmp/r4_eval_list.txt --ssim --decode
+# RD tables moved to tools/r5_chain.sh stage [R] so they run over whatever
+# is installed even if a ladder point stalls.
 echo "=== ROUND-4B MARATHON DONE ==="
