@@ -44,32 +44,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pseudocylindrical_convolution_tpu.codec.pallas_window import (
+    _aligned_start, _ext_rows)
+
 
 def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
+                  Sbuf, extT, extW,
                   starts_ref, pstarts_ref, j0_ref, tpos_ref,   # SMEM
                   buf_ref, k_ref, v6_ref, colz_ref, wz_ref,    # inputs
                   out_ref,                                     # output
-                  win, srcbuf, isem, psem):
+                  win, rowbuf, srcbuf, isem, psem):
     bi = pl.program_id(0)
     fg = CC // CI                    # 3 for hidden layers, 1 for the plane
     cout_full = cout3 // 3
     cpg = cout_full // G
     c = G // nchunks
 
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, w), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, extW), 1)
     iota_tc = jax.lax.broadcasted_iota(jnp.int32, (T, CC), 0)
+    iota_sel_r = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 0)
+    iota_sel_c = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 1)
 
     def band_body(b, carry):
-        # ---- interior rows: h contiguous (T, CC) DMAs straight into win --
+        # ---- interior rows: h ALIGNED contiguous DMAs into rowbuf -------
+        # (sublane-aligned starts + in-VMEM realignment: see the
+        # pallas_window module comment on Mosaic's tile-divisibility rule)
         for r in range(h):
+            astart = _aligned_start(starts_ref[b, r], extT, Sbuf)
             pltpu.make_async_copy(
-                buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
-                win.at[2 + r], isem.at[r]).start()
+                buf_ref.at[bi, pl.ds(astart, extT), :],
+                rowbuf.at[r], isem.at[r]).start()
 
         # ---- vertical-pad rows: 8 single-source-row DMAs, double-buffered
         def pad_dma(k, tap, slot):
+            astart = _aligned_start(pstarts_ref[b, k, tap], extW, Sbuf)
             return pltpu.make_async_copy(
-                buf_ref.at[bi, pl.ds(pstarts_ref[b, k, tap], w), :],
+                buf_ref.at[bi, pl.ds(astart, extW), :],
                 srcbuf.at[slot], psem.at[slot])
 
         pad_dma(0, 0, 0).start()
@@ -81,13 +91,16 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                 kn, tapn = (idx + 1) // 2, (idx + 1) % 2
                 pad_dma(kn, tapn, 1 - slot).start()
             pad_dma(k, tap, slot).wait()
-            src = srcbuf[slot]                          # (w, CC)
+            s = pstarts_ref[b, k, tap]
+            rem = s - _aligned_start(s, extW, Sbuf)
+            src = srcbuf[slot]                          # (extW, CC)
             colz = colz_ref[pl.ds(b, 1), k, tap, :][0]  # (T,)
             wz = wz_ref[pl.ds(b, 1), k, tap, :][0]      # (T,)
             # f32 mask build: Mosaic rejects bf16 minor-dim insertion
             # (wz[:, None]); bf16 -> f32 -> bf16 is exact so the downcast
-            # mask is bit-identical (see pallas_window._window_kernel)
-            m = ((colz[:, None] == iota_w).astype(jnp.float32)
+            # mask is bit-identical (see pallas_window._window_kernel);
+            # the aligned-DMA residue shifts the selected source row
+            m = (((colz + rem)[:, None] == iota_w).astype(jnp.float32)
                  * wz.astype(jnp.float32)[:, None]).astype(src.dtype)
             tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
                              ).astype(src.dtype)        # (T, CC)
@@ -97,17 +110,24 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                 wrow = [0, 1, h + 2, h + 3][k]
                 win[wrow] = acc_pad + tapval
 
-        # ---- interior rows: mask + patch in place as each DMA lands ----
+        # ---- interior rows: realign + mask + patch as each DMA lands ----
         # f32 multiply-masks converted at the compare's own layout, single
-        # downcast per row: no i1 vector ever needs a relayout (same Mosaic
-        # avoidance and bit-exactness argument as pallas_window's kernel)
+        # downcast per row: no i1 vector ever needs a relayout; the one-hot
+        # realign matmul is an exact f32 copy (same argument as
+        # pallas_window's kernel)
         for r in range(h):
             pltpu.make_async_copy(
-                buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
-                win.at[2 + r], isem.at[r]).wait()
+                buf_ref.at[bi, pl.ds(_aligned_start(starts_ref[b, r], extT,
+                                                    Sbuf), extT), :],
+                rowbuf.at[r], isem.at[r]).wait()
+            s = starts_ref[b, r]
+            rem = s - _aligned_start(s, extT, Sbuf)
+            sel = (iota_sel_c - iota_sel_r == rem).astype(jnp.float32)
+            row = jnp.dot(sel, rowbuf[r].astype(jnp.float32),
+                          preferred_element_type=jnp.float32)  # (T, CC)
             jj = iota_tc + j0_ref[b, r]                 # (T, CC)
             vmask = ((jj >= 0) & (jj < w)).astype(jnp.float32)
-            val = vmask * win[2 + r].astype(jnp.float32)
+            val = vmask * row
             for kk in range(6):
                 pk = tpos_ref[b, r, kk]
                 val = val + ((iota_tc == pk).astype(jnp.float32)
@@ -168,8 +188,10 @@ def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
     """
     G = T - 8
     assert CC in (CI, 3 * CI) and G % nchunks == 0
+    extT = _ext_rows(Sbuf, T)
+    extW = _ext_rows(Sbuf, w)
     kern = functools.partial(_fused_kernel, h, T, w, CC, CI, cout3, G,
-                             nchunks, npart, unroll_taps)
+                             nchunks, npart, unroll_taps, Sbuf, extT, extW)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B,),
@@ -190,7 +212,8 @@ def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((h + 4, T, CC), dtype),
-            pltpu.VMEM((2, w, CC), dtype),
+            pltpu.VMEM((h, extT, CC), dtype),
+            pltpu.VMEM((2, extW, CC), dtype),
             pltpu.SemaphoreType.DMA((h,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -35,8 +35,35 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic requires the sublane start of a (VMEM) memref_slice to be
+# tile-aligned ("failed to prove a tile index in dimension 1 is divisible
+# by the tiling (8)", on-chip A/B demo/ab/r5_pallas_ab_512.log), and the
+# burst starts are arbitrary per-step row offsets. Every DMA therefore
+# loads an ALIGNED, slightly longer run and the kernel realigns in VMEM:
+#  * interior rows: a one-hot (T, ext) selection matmul (MXU) -- an exact
+#    f32 copy of the T wanted rows, same trick the pad rows already use;
+#  * pad rows: the residue is folded into the existing column-selection
+#    compare (colz + rem).
+_ALIGN = 8
 
-def _window_kernel(h, T, w, CC, npart,
+
+def _ext_rows(Sbuf, n, A=_ALIGN):
+    """Extended DMA length for n-row loads from a Sbuf-row buffer: n + P
+    with P in [A, 2A) chosen so Sbuf - (n + P) is divisible by A.  Then for
+    any valid start s in [0, Sbuf - n],
+        astart = min((s // A) * A, Sbuf - ext)
+    is A-aligned, astart + ext <= Sbuf, and rem = s - astart <= P."""
+    P = A + (Sbuf - n) % A
+    assert Sbuf >= n + P, (Sbuf, n)
+    return n + P
+
+
+def _aligned_start(s, ext, Sbuf, A=_ALIGN):
+    astart = jnp.minimum((s // A) * A, Sbuf - ext)
+    return pl.multiple_of(astart, A)
+
+
+def _window_kernel(h, T, w, CC, npart, Sbuf, extT, extW,
                    starts_ref, pstarts_ref, j0_ref, tpos_ref,   # SMEM
                    buf_ref, v6_ref, colz_ref, wz_ref,           # inputs
                    win_ref,                                     # output
@@ -46,17 +73,19 @@ def _window_kernel(h, T, w, CC, npart,
 
     # ---- interior rows: start all h contiguous row-run DMAs up front ----
     for r in range(h):
+        astart = _aligned_start(starts_ref[b, r], extT, Sbuf)
         pltpu.make_async_copy(
-            buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
+            buf_ref.at[bi, pl.ds(astart, extT), :],
             rowbuf.at[r], isem.at[r]).start()
 
     # ---- vertical-pad rows: 8 single-source-row DMAs, double-buffered --
     def pad_dma(k, tap, slot):
+        astart = _aligned_start(pstarts_ref[b, k, tap], extW, Sbuf)
         return pltpu.make_async_copy(
-            buf_ref.at[bi, pl.ds(pstarts_ref[b, k, tap], w), :],
+            buf_ref.at[bi, pl.ds(astart, extW), :],
             srcbuf.at[slot], psem.at[slot])
 
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, w), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, extW), 1)
     pad_dma(0, 0, 0).start()
     acc = None
     for idx in range(8):
@@ -66,14 +95,18 @@ def _window_kernel(h, T, w, CC, npart,
             kn, tapn = (idx + 1) // 2, (idx + 1) % 2
             pad_dma(kn, tapn, 1 - slot).start()
         pad_dma(k, tap, slot).wait()
-        src = srcbuf[slot]                              # (w, CC)
+        s = pstarts_ref[b, k, tap]
+        rem = s - _aligned_start(s, extW, Sbuf)
+        src = srcbuf[slot]                              # (extW, CC)
         colz = colz_ref[0, k, tap, :]                   # (T,)
         wz = wz_ref[0, k, tap, :]                       # (T,)
         # build the selection mask in f32: Mosaic only supports non-no-op
         # minor-dim insertion (wz[:, None]) for 32-bit types, and the
         # round trip bf16 -> f32 -> bf16 is exact, so the downcast mask is
-        # bit-identical to one built in bf16 directly
-        m = ((colz[:, None] == iota_w).astype(jnp.float32)
+        # bit-identical to one built in bf16 directly.  The aligned-DMA
+        # residue shifts the selected source row: wanted row colz[t] of the
+        # exact run == row colz[t] + rem of the extended run.
+        m = (((colz + rem)[:, None] == iota_w).astype(jnp.float32)
              * wz.astype(jnp.float32)[:, None]).astype(src.dtype)
         tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
                          ).astype(src.dtype)            # (T, CC)
@@ -83,7 +116,7 @@ def _window_kernel(h, T, w, CC, npart,
             wrow = [0, 1, h + 2, h + 3][k]
             win_ref[0, 0, wrow] = acc + tapval
 
-    # ---- interior rows: mask + patch as each DMA lands ----
+    # ---- interior rows: realign + mask + patch as each DMA lands ----
     # NO i1 vectors survive past their producing compare: every mask is
     # converted to f32 at the compare's own layout and applied by
     # multiply-add. An i1 select whose mask replication differs from the
@@ -91,19 +124,29 @@ def _window_kernel(h, T, w, CC, npart,
     # is sublane-replicated) needs an i1 relayout Mosaic rejects (both the
     # round-4 A/B failure "16,{0,*}->(16,128)" and its 32-bit sibling);
     # f32 relayouts are fully supported, so all mixing happens in f32.
-    # Each position takes at most ONE add of an exactly-upcast value on a
+    # The realignment is a one-hot f32 matmul (exactly one unit product
+    # per output position -> an exact copy of the upcast value), each
+    # position then takes at most ONE add of an exactly-upcast value on a
     # zero/masked base, and mask*x == where(mask, x, 0) for finite x (the
     # -0.0 sign difference cannot survive the downstream adds), so the
     # single downcast per row is bit-identical to the gather path's bf16
     # adds (equivalence-tested).
     iota_tc = jax.lax.broadcasted_iota(jnp.int32, (T, CC), 0)
+    iota_sel_r = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 0)
+    iota_sel_c = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 1)
     for r in range(h):
         pltpu.make_async_copy(
-            buf_ref.at[bi, pl.ds(starts_ref[b, r], T), :],
+            buf_ref.at[bi, pl.ds(_aligned_start(starts_ref[b, r], extT,
+                                                Sbuf), extT), :],
             rowbuf.at[r], isem.at[r]).wait()
+        s = starts_ref[b, r]
+        rem = s - _aligned_start(s, extT, Sbuf)
+        sel = (iota_sel_c - iota_sel_r == rem).astype(jnp.float32)
+        row = jnp.dot(sel, rowbuf[r].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)   # (T, CC) exact
         jj = iota_tc + j0_ref[b, r]                     # (T, CC)
         vmask = ((jj >= 0) & (jj < w)).astype(jnp.float32)
-        val = vmask * rowbuf[r].astype(jnp.float32)
+        val = vmask * row
         for k in range(6):
             pk = tpos_ref[b, r, k]
             val = val + ((iota_tc == pk).astype(jnp.float32)
@@ -122,7 +165,10 @@ def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
     colz (npart, 4, 2, T) int32 / wz (npart, 4, 2, T) dtype: pad-row
     selection tables for step z. Returns (B, npart, h+4, T, CC).
     """
-    kern = functools.partial(_window_kernel, h, T, w, CC, npart)
+    extT = _ext_rows(Sbuf, T)
+    extW = _ext_rows(Sbuf, w)
+    kern = functools.partial(_window_kernel, h, T, w, CC, npart, Sbuf,
+                             extT, extW)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, npart),
@@ -140,8 +186,8 @@ def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
                                lambda bi, b, *_: (bi, b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((h, T, CC), dtype),
-            pltpu.VMEM((2, w, CC), dtype),
+            pltpu.VMEM((h, extT, CC), dtype),
+            pltpu.VMEM((2, extW, CC), dtype),
             pltpu.SemaphoreType.DMA((h,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
