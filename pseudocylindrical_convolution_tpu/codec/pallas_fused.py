@@ -188,6 +188,14 @@ def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
     """
     G = T - 8
     assert CC in (CI, 3 * CI) and G % nchunks == 0
+    # the fori-loop tap variant reads win at a TRACED (dy, dx) offset on
+    # the sublane dim, which Mosaic statically rejects ("cannot statically
+    # prove that index in dimension 1 is a multiple of 8", on-chip A/B
+    # demo/ab/r5_pallas_ab_512_fixed.log); on real TPU the taps must be
+    # python-unrolled so every win/K slice has compile-time offsets.
+    # Interpret mode keeps the compact fori form (faster to trace/test).
+    if not interpret:
+        unroll_taps = True
     extT = _ext_rows(Sbuf, T)
     extW = _ext_rows(Sbuf, w)
     kern = functools.partial(_fused_kernel, h, T, w, CC, CI, cout3, G,

@@ -48,14 +48,18 @@ _ALIGN = 8
 
 
 def _ext_rows(Sbuf, n, A=_ALIGN):
-    """Extended DMA length for n-row loads from a Sbuf-row buffer: n + P
-    with P in [A, 2A) chosen so Sbuf - (n + P) is divisible by A.  Then for
-    any valid start s in [0, Sbuf - n],
+    """Extended DMA length for n-row loads from a Sbuf-row buffer:
+    round_up(n, A) + A.  Mosaic requires slice LENGTHS on the sublane dim
+    to be tile-aligned too (on-chip: "slice shape along dimension 1 must
+    be aligned to tiling (8), but is 70"), so ext is a multiple of A, and
+    Sbuf must be one as well (_burst_setup pads it) so the clamped max
+    start Sbuf - ext stays aligned.  Then for any s in [0, Sbuf - n],
         astart = min((s // A) * A, Sbuf - ext)
-    is A-aligned, astart + ext <= Sbuf, and rem = s - astart <= P."""
-    P = A + (Sbuf - n) % A
-    assert Sbuf >= n + P, (Sbuf, n)
-    return n + P
+    is A-aligned, astart + ext <= Sbuf, and rem = s - astart <= ext - n."""
+    assert Sbuf % A == 0, Sbuf
+    ext = (n + A - 1) // A * A + A
+    assert Sbuf >= ext, (Sbuf, n)
+    return ext
 
 
 def _aligned_start(s, ext, Sbuf, A=_ALIGN):

@@ -386,7 +386,13 @@ class ScanWavefrontCodec:
         M1 = max(0, -int((base + j0_z0).min()))
         M2 = max(0, int((base + j0_z0 + zmax).max()) + T - S)
         self._row_off = M1
-        self.Sbuf = M1 + S + M2
+        # trailing pad to a multiple of 8 rows: Mosaic requires DMA slice
+        # starts AND lengths on the sublane dim to be tile-aligned, and the
+        # Pallas kernels' aligned-run loads (pallas_window._ext_rows) need
+        # Sbuf % 8 == 0 so the clamped max start stays aligned.  The extra
+        # zero rows are dead weight the gathers never index (PROMISE_IN_
+        # BOUNDS reads are unchanged), value-neutral in every window mode.
+        self.Sbuf = M1 + S + M2 + (-(M1 + S + M2)) % 8
 
         idxp_np, wgtp_np = _static_tables(self.geom, h, w)
         wl = np.asarray(self.geom.hindex(self.h_out, w), np.int64)

@@ -31,8 +31,19 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
         --test-batch-size 2"
 
 train () {
-    [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; marathon stopping ==="; exit 0; }
-    python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"
+    # up to 3 attempts: the axon remote-compile path throws transient HTTP
+    # errors ("response body closed before all bytes were read") that
+    # previously killed the whole marathon via set -e; a genuine failure
+    # just fails fast three times.  Resume flags make retries cheap (the
+    # trainstate from the last finished epoch is picked up).
+    local a
+    for a in 1 2 3; do
+        [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; marathon stopping ==="; exit 0; }
+        python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@" && return 0
+        echo "=== train attempt $a failed (rc=$?); retrying in 60s ==="
+        sleep 60
+    done
+    return 1
 }
 
 # point <run-dir> <prefix> <fallback-init> <install-path> <args...>
@@ -56,9 +67,11 @@ point () {
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
             # warm Adam moments: the resumed E/D epoch is gentle
-            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
+            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D \
+                || { echo "=== $OUT: training failed 3x; point skipped ==="; return 0; }
         else
-            train --resume $FB --epochs 6 "$@" --save-dir $D
+            train --resume $FB --epochs 6 "$@" --save-dir $D \
+                || { echo "=== $OUT: training failed 3x; point skipped ==="; return 0; }
         fi
         touch $D/.done
     fi

@@ -27,8 +27,16 @@ COMMON="--img-dir $DATA --train-list $DATA/train128.txt --test-list $DATA/test.t
         --test-batch-size 2"
 
 train () {
-    [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; marathon stopping ==="; exit 0; }
-    python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@"
+    # up to 3 attempts (transient remote-compile HTTP errors; see
+    # round4_train.sh)
+    local a
+    for a in 1 2 3; do
+        [ -f /tmp/r3_stop ] && { echo "=== /tmp/r3_stop present; marathon stopping ==="; exit 0; }
+        python -m pseudocylindrical_convolution_tpu.train.loop $COMMON "$@" && return 0
+        echo "=== train attempt $a failed (rc=$?); retrying in 60s ==="
+        sleep 60
+    done
+    return 1
 }
 
 # point <run-dir> <prefix> <fallback-init> <install-path> <args...>
@@ -46,9 +54,11 @@ point () {
     [ -f $FB ] || { echo "=== $OUT: init ckpt $FB missing; skip ==="; return 0; }
     if [ ! -f $D/.done ]; then
         if [ -f $D/${P}_trainstate.pkl ]; then
-            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D
+            train --resume $D/${P}_trainstate.pkl --epochs 3 "$@" --save-dir $D \
+                || { echo "=== $OUT: training failed 3x; point skipped ==="; return 0; }
         else
-            train --resume $FB --epochs 6 "$@" --save-dir $D
+            train --resume $FB --epochs 6 "$@" --save-dir $D \
+                || { echo "=== $OUT: training failed 3x; point skipped ==="; return 0; }
         fi
         touch $D/.done
     fi
