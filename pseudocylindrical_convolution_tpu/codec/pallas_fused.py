@@ -1,18 +1,22 @@
 """Pallas TPU kernel: fused window-assembly + sheared frontier conv.
 
 `window_mode="fused"` runs each layer-step of `codec/wavefront_scan.py` as
-ONE kernel: the skew window is assembled in VMEM (the same contiguous-DMA
-decomposition as `pallas_window.py`) and the sheared conv runs on the MXU
-directly from VMEM, so the (B, npart, h+4, T, CC) window NEVER touches HBM
-(neither the write of an assembly pass nor the conv's re-read, ~150 MB/step
-at the flagship config) and the conv's lhs transpose disappears. Only the
-frontier cells (B, npart, h, cout3) leave the kernel.
+ONE kernel: the skew window is assembled in VMEM (the same aligned-read +
+one-hot-realign decomposition as `pallas_window.py`) and the sheared conv
+runs on the MXU directly from VMEM, so the (B, npart, h+4, T, CC) window
+NEVER touches HBM (neither the write of an assembly pass nor the conv's
+re-read, ~150 MB/step at the flagship config) and the conv's lhs transpose
+disappears. Only the frontier cells (B, npart, h, cout3) leave the kernel.
 
-Layout inside the kernel (per band): win (h+4, T, CC) in VMEM scratch --
-  * interior rows: one contiguous (T, CC) DMA each (burst decomposition,
-    `ScanWavefrontCodec._burst_setup`), masked to the valid column range,
-    the <=6 non-identity columns patched from pre-weighted table values;
-  * vertical-pad rows: 8 single-source-row DMAs contracted with one-hot
+Layout inside the kernel (per band): win (h+4, T, CC) in VMEM scratch.
+The flat layer buffer is block-fetched into VMEM once per image (constant
+block index; see pallas_window.py on why whole-buffer residency beats
+Mosaic's DMA-slice alignment rules at equal HBM traffic) --
+  * interior rows: one (extT, CC) aligned VMEM read each (burst
+    decomposition, `ScanWavefrontCodec._burst_setup`), realigned by a
+    one-hot f32 matmul, masked to the valid column range, the <=6
+    non-identity columns patched from pre-weighted table values;
+  * vertical-pad rows: 8 single-source-row reads contracted with one-hot
     selection matrices on the MXU (the `_mmpad_tables` audit guarantees
     one source row per (band, pad-row, tap)).
   * conv: 45 unrolled (dy, dx) taps; per (subnet, group-chunk) the tap is
@@ -32,7 +36,7 @@ runs in interpreter mode (tests).
 Reference behavior covered: the fused per-step kernel
 `extension/entropy_conv_cuda_v2.cu:60-110` (context fetch + masked conv in
 one launch), re-expressed for the TPU memory system: VMEM residency +
-contiguous DMA + MXU taps instead of warp-level shared-memory tiles.
+MXU taps instead of warp-level shared-memory tiles.
 """
 
 from __future__ import annotations
@@ -53,8 +57,7 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                   starts_ref, pstarts_ref, j0_ref, tpos_ref,   # SMEM
                   buf_ref, k_ref, v6_ref, colz_ref, wz_ref,    # inputs
                   out_ref,                                     # output
-                  win, rowbuf, srcbuf, isem, psem):
-    bi = pl.program_id(0)
+                  win):
     fg = CC // CI                    # 3 for hidden layers, 1 for the plane
     cout_full = cout3 // 3
     cpg = cout_full // G
@@ -65,41 +68,22 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
     iota_sel_r = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 0)
     iota_sel_c = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 1)
 
+    def row_slice(s, ext):
+        astart = _aligned_start(s, ext, Sbuf)
+        return buf_ref[0, pl.ds(astart, ext), :], s - astart
+
     def band_body(b, carry):
-        # ---- interior rows: h ALIGNED contiguous DMAs into rowbuf -------
-        # (sublane-aligned starts + in-VMEM realignment: see the
-        # pallas_window module comment on Mosaic's tile-divisibility rule)
-        for r in range(h):
-            astart = _aligned_start(starts_ref[b, r], extT, Sbuf)
-            pltpu.make_async_copy(
-                buf_ref.at[bi, pl.ds(astart, extT), :],
-                rowbuf.at[r], isem.at[r]).start()
-
-        # ---- vertical-pad rows: 8 single-source-row DMAs, double-buffered
-        def pad_dma(k, tap, slot):
-            astart = _aligned_start(pstarts_ref[b, k, tap], extW, Sbuf)
-            return pltpu.make_async_copy(
-                buf_ref.at[bi, pl.ds(astart, extW), :],
-                srcbuf.at[slot], psem.at[slot])
-
-        pad_dma(0, 0, 0).start()
+        # ---- vertical-pad rows: one aligned read per (k, tap) ----------
         acc_pad = None
         for idx in range(8):
             k, tap = idx // 2, idx % 2
-            slot = idx % 2
-            if idx + 1 < 8:
-                kn, tapn = (idx + 1) // 2, (idx + 1) % 2
-                pad_dma(kn, tapn, 1 - slot).start()
-            pad_dma(k, tap, slot).wait()
-            s = pstarts_ref[b, k, tap]
-            rem = s - _aligned_start(s, extW, Sbuf)
-            src = srcbuf[slot]                          # (extW, CC)
+            src, rem = row_slice(pstarts_ref[b, k, tap], extW)
             colz = colz_ref[pl.ds(b, 1), k, tap, :][0]  # (T,)
             wz = wz_ref[pl.ds(b, 1), k, tap, :][0]      # (T,)
             # f32 mask build: Mosaic rejects bf16 minor-dim insertion
             # (wz[:, None]); bf16 -> f32 -> bf16 is exact so the downcast
             # mask is bit-identical (see pallas_window._window_kernel);
-            # the aligned-DMA residue shifts the selected source row
+            # the aligned-read residue shifts the selected source row
             m = (((colz + rem)[:, None] == iota_w).astype(jnp.float32)
                  * wz.astype(jnp.float32)[:, None]).astype(src.dtype)
             tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
@@ -110,20 +94,15 @@ def _fused_kernel(h, T, w, CC, CI, cout3, G, nchunks, npart, unroll_taps,
                 wrow = [0, 1, h + 2, h + 3][k]
                 win[wrow] = acc_pad + tapval
 
-        # ---- interior rows: realign + mask + patch as each DMA lands ----
+        # ---- interior rows: realign + mask + patch ----------------------
         # f32 multiply-masks converted at the compare's own layout, single
         # downcast per row: no i1 vector ever needs a relayout; the one-hot
         # realign matmul is an exact f32 copy (same argument as
         # pallas_window's kernel)
         for r in range(h):
-            pltpu.make_async_copy(
-                buf_ref.at[bi, pl.ds(_aligned_start(starts_ref[b, r], extT,
-                                                    Sbuf), extT), :],
-                rowbuf.at[r], isem.at[r]).wait()
-            s = starts_ref[b, r]
-            rem = s - _aligned_start(s, extT, Sbuf)
+            rows, rem = row_slice(starts_ref[b, r], extT)
             sel = (iota_sel_c - iota_sel_r == rem).astype(jnp.float32)
-            row = jnp.dot(sel, rowbuf[r].astype(jnp.float32),
+            row = jnp.dot(sel, rows.astype(jnp.float32),
                           preferred_element_type=jnp.float32)  # (T, CC)
             jj = iota_tc + j0_ref[b, r]                 # (T, CC)
             vmask = ((jj >= 0) & (jj < w)).astype(jnp.float32)
@@ -204,7 +183,10 @@ def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
         num_scalar_prefetch=4,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                # buf
+            # whole buffer resident in VMEM (fetched once per bi; see
+            # pallas_window.py)
+            pl.BlockSpec((1, Sbuf, CC), lambda bi, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),            # buf
             pl.BlockSpec((45, CI, cout3), lambda bi, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),            # K (resident)
             pl.BlockSpec((1, npart, h, 6, CC),
@@ -220,10 +202,6 @@ def build_fused_conv_call(*, B, npart, h, w, T, CC, CI, cout3, nchunks,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((h + 4, T, CC), dtype),
-            pltpu.VMEM((h, extT, CC), dtype),
-            pltpu.VMEM((2, extW, CC), dtype),
-            pltpu.SemaphoreType.DMA((h,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -1,18 +1,28 @@
 """Pallas TPU kernel: assemble the scan codec's skew window in VMEM.
 
 `window_mode="pallas"` builds the whole (B, npart, h+4, T, CC) per-layer
-window of `codec/wavefront_scan.py` in ONE kernel instead of XLA gathers:
+window of `codec/wavefront_scan.py` in ONE kernel instead of XLA gathers.
+The flat layer buffer (B, Sbuf, CC) is block-fetched into VMEM ONCE per
+image (the block index is constant across the npart grid dim, so pallas's
+pipeline fetches it a single time per bi) -- at the flagship config the
+interior rows + pad rows together re-read ~the whole buffer anyway, so
+whole-buffer residency costs the same HBM traffic as targeted row DMAs
+and sidesteps every Mosaic DMA-slice alignment rule (sublane starts AND
+lengths must be 8-aligned, lane lengths 128-aligned: three successive
+on-chip rejections, demo/ab/r5_pallas_ab_512*.log).
 
   * interior rows (h per band): for a fixed (band, row) the window
     positions are consecutive buffer columns (the burst decomposition,
-    `ScanWavefrontCodec._burst_setup`), so each row is ONE contiguous
-    (T, CC) HBM->VMEM DMA at a z-dependent row offset (scalar-prefetched),
-    masked to the valid column range, with the <=6 non-identity columns
-    patched from precomputed (XLA-side) pad-table values.
+    `ScanWavefrontCodec._burst_setup`), so each row is ONE (T, CC) slice
+    of VMEM at a z-dependent row offset -- read 8-aligned (pl.multiple_of)
+    with a slightly longer run and realigned by a one-hot f32 matmul on
+    the MXU (an exact copy), masked to the valid column range, with the
+    <=6 non-identity columns patched from precomputed (XLA-side) values.
   * vertical-pad rows (4 per band): each (band, pad-row, tap) provably
-    reads ONE source plane row (`_mmpad_tables` audit), DMA'd contiguously
-    and contracted with a one-hot-times-lerp-weight selection matrix built
-    in VMEM -- the MXU does the column remap, no per-position HBM gathers.
+    reads ONE source plane row (`_mmpad_tables` audit), sliced the same
+    aligned way and contracted with a one-hot-times-lerp-weight selection
+    matrix -- the MXU does the column remap (the alignment residue folds
+    into the selection compare).
 
 The values are exactly the gather path's (copies, single exact products,
 and same-order bf16 adds), so coder ranges match the gather profile
@@ -35,11 +45,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Mosaic requires the sublane start of a (VMEM) memref_slice to be
-# tile-aligned ("failed to prove a tile index in dimension 1 is divisible
-# by the tiling (8)", on-chip A/B demo/ab/r5_pallas_ab_512.log), and the
-# burst starts are arbitrary per-step row offsets. Every DMA therefore
-# loads an ALIGNED, slightly longer run and the kernel realigns in VMEM:
+# Mosaic requires dynamic sublane offsets to be PROVABLY tile-aligned
+# (8 rows); burst starts are arbitrary per-step row offsets.  Every read
+# therefore covers an ALIGNED, slightly longer run and the kernel
+# realigns in VMEM:
 #  * interior rows: a one-hot (T, ext) selection matmul (MXU) -- an exact
 #    f32 copy of the T wanted rows, same trick the pad rows already use;
 #  * pad rows: the residue is folded into the existing column-selection
@@ -48,12 +57,10 @@ _ALIGN = 8
 
 
 def _ext_rows(Sbuf, n, A=_ALIGN):
-    """Extended DMA length for n-row loads from a Sbuf-row buffer:
-    round_up(n, A) + A.  Mosaic requires slice LENGTHS on the sublane dim
-    to be tile-aligned too (on-chip: "slice shape along dimension 1 must
-    be aligned to tiling (8), but is 70"), so ext is a multiple of A, and
-    Sbuf must be one as well (_burst_setup pads it) so the clamped max
-    start Sbuf - ext stays aligned.  Then for any s in [0, Sbuf - n],
+    """Extended read length for n-row slices of a Sbuf-row buffer:
+    round_up(n, A) + A.  Sbuf must be a multiple of A (_burst_setup pads
+    it) so the clamped max start Sbuf - ext stays aligned.  Then for any
+    s in [0, Sbuf - n],
         astart = min((s // A) * A, Sbuf - ext)
     is A-aligned, astart + ext <= Sbuf, and rem = s - astart <= ext - n."""
     assert Sbuf % A == 0, Sbuf
@@ -70,46 +77,28 @@ def _aligned_start(s, ext, Sbuf, A=_ALIGN):
 def _window_kernel(h, T, w, CC, npart, Sbuf, extT, extW,
                    starts_ref, pstarts_ref, j0_ref, tpos_ref,   # SMEM
                    buf_ref, v6_ref, colz_ref, wz_ref,           # inputs
-                   win_ref,                                     # output
-                   rowbuf, srcbuf, isem, psem):
-    bi = pl.program_id(0)
+                   win_ref):                                    # output
     b = pl.program_id(1)
 
-    # ---- interior rows: start all h contiguous row-run DMAs up front ----
-    for r in range(h):
-        astart = _aligned_start(starts_ref[b, r], extT, Sbuf)
-        pltpu.make_async_copy(
-            buf_ref.at[bi, pl.ds(astart, extT), :],
-            rowbuf.at[r], isem.at[r]).start()
+    def row_slice(s, ext):
+        """(ext, CC) aligned VMEM read + the realignment residue."""
+        astart = _aligned_start(s, ext, Sbuf)
+        return buf_ref[0, pl.ds(astart, ext), :], s - astart
 
-    # ---- vertical-pad rows: 8 single-source-row DMAs, double-buffered --
-    def pad_dma(k, tap, slot):
-        astart = _aligned_start(pstarts_ref[b, k, tap], extW, Sbuf)
-        return pltpu.make_async_copy(
-            buf_ref.at[bi, pl.ds(astart, extW), :],
-            srcbuf.at[slot], psem.at[slot])
-
+    # ---- vertical-pad rows: one single-source-row read per (k, tap) ----
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, extW), 1)
-    pad_dma(0, 0, 0).start()
     acc = None
     for idx in range(8):
         k, tap = idx // 2, idx % 2
-        slot = idx % 2
-        if idx + 1 < 8:
-            kn, tapn = (idx + 1) // 2, (idx + 1) % 2
-            pad_dma(kn, tapn, 1 - slot).start()
-        pad_dma(k, tap, slot).wait()
-        s = pstarts_ref[b, k, tap]
-        rem = s - _aligned_start(s, extW, Sbuf)
-        src = srcbuf[slot]                              # (extW, CC)
+        src, rem = row_slice(pstarts_ref[b, k, tap], extW)
         colz = colz_ref[0, k, tap, :]                   # (T,)
         wz = wz_ref[0, k, tap, :]                       # (T,)
         # build the selection mask in f32: Mosaic only supports non-no-op
         # minor-dim insertion (wz[:, None]) for 32-bit types, and the
         # round trip bf16 -> f32 -> bf16 is exact, so the downcast mask is
-        # bit-identical to one built in bf16 directly.  The aligned-DMA
-        # residue shifts the selected source row: wanted row colz[t] of the
-        # exact run == row colz[t] + rem of the extended run.
+        # bit-identical to one built in bf16 directly.  The aligned-read
+        # residue shifts the selected source row: wanted row colz[t] of
+        # the exact run == row colz[t] + rem of the extended run.
         m = (((colz + rem)[:, None] == iota_w).astype(jnp.float32)
              * wz.astype(jnp.float32)[:, None]).astype(src.dtype)
         tapval = jnp.dot(m, src, preferred_element_type=jnp.float32
@@ -120,7 +109,7 @@ def _window_kernel(h, T, w, CC, npart, Sbuf, extT, extW,
             wrow = [0, 1, h + 2, h + 3][k]
             win_ref[0, 0, wrow] = acc + tapval
 
-    # ---- interior rows: realign + mask + patch as each DMA lands ----
+    # ---- interior rows: realign + mask + patch ----
     # NO i1 vectors survive past their producing compare: every mask is
     # converted to f32 at the compare's own layout and applied by
     # multiply-add. An i1 select whose mask replication differs from the
@@ -139,14 +128,9 @@ def _window_kernel(h, T, w, CC, npart, Sbuf, extT, extW,
     iota_sel_r = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 0)
     iota_sel_c = jax.lax.broadcasted_iota(jnp.int32, (T, extT), 1)
     for r in range(h):
-        pltpu.make_async_copy(
-            buf_ref.at[bi, pl.ds(_aligned_start(starts_ref[b, r], extT,
-                                                Sbuf), extT), :],
-            rowbuf.at[r], isem.at[r]).wait()
-        s = starts_ref[b, r]
-        rem = s - _aligned_start(s, extT, Sbuf)
+        rows, rem = row_slice(starts_ref[b, r], extT)
         sel = (iota_sel_c - iota_sel_r == rem).astype(jnp.float32)
-        row = jnp.dot(sel, rowbuf[r].astype(jnp.float32),
+        row = jnp.dot(sel, rows.astype(jnp.float32),
                       preferred_element_type=jnp.float32)   # (T, CC) exact
         jj = iota_tc + j0_ref[b, r]                     # (T, CC)
         vmask = ((jj >= 0) & (jj < w)).astype(jnp.float32)
@@ -155,7 +139,7 @@ def _window_kernel(h, T, w, CC, npart, Sbuf, extT, extW,
             pk = tpos_ref[b, r, k]
             val = val + ((iota_tc == pk).astype(jnp.float32)
                          * v6_ref[0, 0, r, k][None, :].astype(jnp.float32))
-        win_ref[0, 0, 2 + r] = val.astype(rowbuf.dtype)
+        win_ref[0, 0, 2 + r] = val.astype(win_ref.dtype)
 
 
 def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
@@ -177,7 +161,10 @@ def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
         num_scalar_prefetch=4,
         grid=(B, npart),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),               # buf
+            # whole buffer resident in VMEM; the block index is constant
+            # across the npart grid dim so it is fetched once per bi
+            pl.BlockSpec((1, Sbuf, CC), lambda bi, b, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),           # buf
             pl.BlockSpec((1, 1, h, 6, CC),
                          lambda bi, b, *_: (bi, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),           # v6
@@ -189,12 +176,6 @@ def build_window_call(*, B, npart, h, w, T, CC, Sbuf, dtype, interpret):
         out_specs=pl.BlockSpec((1, 1, h + 4, T, CC),
                                lambda bi, b, *_: (bi, b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((h, extT, CC), dtype),
-            pltpu.VMEM((2, extW, CC), dtype),
-            pltpu.SemaphoreType.DMA((h,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     return pl.pallas_call(
         kern,
