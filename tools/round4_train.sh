@@ -95,11 +95,11 @@ point () {
 # MSE finetunes (lr default 1e-4: same recipe that converged for 2_56/9_192)
 point demo/train_run_3_56  ent_opt_192_56_16  demo/mse/2_56.pkl  demo/mse/3_56.pkl  --valid-dim 56  --alpha 1
 point demo/train_run_4_112 ent_opt_192_112_16 demo/mse/5_112.pkl demo/mse/4_112.pkl --valid-dim 112 --alpha 3
-point demo/train_run_8_192 ent_opt_192_192_16 demo/mse/9_192.pkl demo/mse/8_192.pkl --valid-dim 192 --alpha 3
+# cheap points first (vd56/vd112 epochs run ~3x faster than vd192's
+# ~14-min epochs -- final-session breadth reorder; 8_192/ssim8_192 moved
+# to the end so a session cut cannot strand the whole tail behind them)
 # SSIM finetunes (lr 1e-5: RD_EVIDENCE.md post-mortem); SSIM-units gate
 GATE=0.05
-point demo/train_run_ssim8_192 ent_opt_192_192_16 demo/mse/9_192.pkl demo/ssim/8_192.pkl \
-    --valid-dim 192 --alpha 2 --beta 10 --gamma 0 --lr 1e-5
 point demo/train_run_ssim1_56  ent_opt_192_56_16  demo/mse/1_56.pkl  demo/ssim/1_56.pkl \
     --valid-dim 56 --alpha 3 --beta 10 --gamma 0 --lr 1e-5
 GATE=3e-4
@@ -108,6 +108,11 @@ point demo/train_run_7_112 ent_opt_192_112_16 demo/mse/6_112.pkl demo/mse/7_112.
 GATE=0.05
 point demo/train_run_ssim2_56 ent_opt_192_56_16 demo/mse/2_56.pkl demo/ssim/2_56.pkl \
     --valid-dim 56 --alpha 2 --beta 10 --gamma 0 --lr 1e-5
+GATE=3e-4
+point demo/train_run_8_192 ent_opt_192_192_16 demo/mse/9_192.pkl demo/mse/8_192.pkl --valid-dim 192 --alpha 3
+GATE=0.05
+point demo/train_run_ssim8_192 ent_opt_192_192_16 demo/mse/9_192.pkl demo/ssim/8_192.pkl \
+    --valid-dim 192 --alpha 2 --beta 10 --gamma 0 --lr 1e-5
 
 # RD tables move to round4b_train.sh (run once over the complete registry)
 echo "=== ROUND-4 MARATHON DONE ==="
