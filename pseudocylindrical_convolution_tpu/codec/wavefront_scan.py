@@ -1330,9 +1330,33 @@ _CODEC_CACHE = {}
 # (tools/prof_scan_variants.py). get_scan_codec falls back to chunks=1 when
 # a config's group count is not divisible.
 DEFAULT_CONV_CHUNKS = 4
-DEFAULT_WINDOW_MODE = "gather"
+# "pallas" won the round-5 on-chip A/B at the flagship config (3.01/3.06
+# vs gather's 3.14/3.19 ms/step enc/dec, demo/ab/r5_pallas_ab_512_fixed.log)
+# but its whole-buffer VMEM residency only fits sub-~9MB buffers
+# (pallas_window.py); _pallas_fits gates the default per geometry and
+# falls back to gather (e.g. 2048x4096, whose buffer is ~34 MB). Streams
+# are self-describing (FLAG2_PALLASWIN), so decode always reconstructs
+# the encoding profile regardless of the default.
+DEFAULT_WINDOW_MODE = "pallas"
 DEFAULT_HOIST = False
 DEFAULT_PAD_MODE = "gather"
+
+
+def _pallas_fits(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
+                 dtype) -> bool:
+    """Estimate whether the Pallas window kernel's resident buffer fits.
+
+    The dominant VMEM cost is the flat layer buffer (Sbuf, 3*G*cpn) with
+    lanes padded to a multiple of 128. Sbuf is estimated with the burst
+    margins rounded up (the exact value comes from _burst_setup, which
+    needs a constructed codec). Measured: the flagship 512x1024 buffer
+    (8296 x 432 -> 8.5 MB padded bf16) compiles and runs; 16x that OOMs
+    scoped VMEM (the fused kernel's 28.66M > 16M rejection)."""
+    G = cfg.ngroup
+    S = geom.npart * h * w
+    sest = S + 2 * (G + 8 + geom.npart * h + 16) + 16
+    ccpad = -(-3 * G * 3 // 128) * 128              # cpn=3, lanes padded
+    return sest * ccpad * jnp.dtype(dtype).itemsize <= 9 * 1024 * 1024
 
 
 def auto_lanes(geom: Geometry, h: int, w: int, G: int) -> int:
@@ -1367,6 +1391,9 @@ def get_scan_codec(cfg: CMPNetConfig, geom: Geometry, h: int, w: int,
             DEFAULT_CONV_CHUNKS == 0 else 1
     if window_mode is None:
         window_mode = DEFAULT_WINDOW_MODE
+        if window_mode == "pallas" and not _pallas_fits(cfg, geom, h, w,
+                                                        dtype):
+            window_mode = "gather"
     if hoist is None:
         hoist = DEFAULT_HOIST and window_mode == "gather"
     if pad_mode is None:
